@@ -1,0 +1,269 @@
+"""Detail-branch compressive bottleneck: transforms + four-part entropy model.
+
+flax re-design of the reference bottleneck
+(reference: src/models/sq_bottleneck.py:55-253) in NHWC.  The flax module
+holds the nets; :class:`BottleneckCoder` is the host-side driver that
+orchestrates jitted device steps against the native rANS coder, reusing the
+*same* compiled step functions on the encode and decode paths so both sides
+walk bit-identical float trajectories.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import EntropyCoder, build_gaussian_tables
+from ..entropy.fourpart import (combine_for_writing, forward_four_part_prior,
+                                four_part_masks, process_with_mask,
+                                separate_prior, add_uniform_noise)
+from ..entropy.gaussian import build_indexes, gaussian_bits, lower_bound
+from .dcvc import DepthConvBlock4
+
+
+class CompressiveBottleneck(nn.Module):
+    """Analysis/synthesis transforms + learned prior over the detail latent.
+
+    Per-QP gain vectors select the operating rate (``bpp_num`` rates;
+    reference: sq_bottleneck.py:60-61, 84).
+    """
+    feat_dim: int
+    quant_dim: int
+    bpp_num: int = 1
+
+    def setup(self):
+        f, q, b = self.feat_dim, self.quant_dim, self.bpp_num
+        ones = nn.initializers.ones
+        self.enc_q = self.param("enc_q", ones, (b, f))
+        self.dec_q = self.param("dec_q", ones, (b, f))
+        self.factorized_prior_vec = self.param("factorized_prior_vec", ones, (b, q))
+
+        self.enc_trans_0 = [DepthConvBlock4(f), DepthConvBlock4(f)]
+        self.enc_trans_1 = [DepthConvBlock4(f), DepthConvBlock4(q)]
+        self.dec_trans_0 = [DepthConvBlock4(f), DepthConvBlock4(f)]
+        self.dec_trans_1 = [DepthConvBlock4(f), DepthConvBlock4(f)]
+
+        self.y_prior_fusion = [DepthConvBlock4(q * 2), DepthConvBlock4(q * 3)]
+        self.y_spatial_prior_reduction = nn.Conv(q, (1, 1))
+        self.y_spatial_prior_adaptors = [DepthConvBlock4(q * 2) for _ in range(3)]
+        self.y_spatial_prior = [DepthConvBlock4(q * 2) for _ in range(3)]
+
+    # ---- transforms -------------------------------------------------------
+    def encode_transform(self, y, q_idx: int = 0):
+        for blk in self.enc_trans_0:
+            y = blk(y)
+        y = y * self.enc_q[q_idx]
+        for blk in self.enc_trans_1:
+            y = blk(y)
+        return y
+
+    def decode_transform(self, y_hat, q_idx: int = 0):
+        for blk in self.dec_trans_0:
+            y_hat = blk(y_hat)
+        y_hat = y_hat * self.dec_q[q_idx]
+        for blk in self.dec_trans_1:
+            y_hat = blk(y_hat)
+        return y_hat
+
+    # ---- prior ------------------------------------------------------------
+    def prior_params(self, shape_bhw: Tuple[int, int, int], q_idx: int = 0):
+        B, H, W = shape_bhw
+        qp = jnp.broadcast_to(self.factorized_prior_vec[q_idx],
+                              (B, H, W, self.quant_dim))
+        p = qp
+        for blk in self.y_prior_fusion:
+            p = blk(p)
+        return p  # (B, H, W, 3*quant_dim)
+
+    def reduce_common(self, common_params):
+        return self.y_spatial_prior_reduction(common_params)
+
+    def spatial_step(self, step: int, y_hat_so_far, common_reduced):
+        p = jnp.concatenate([y_hat_so_far, common_reduced], axis=-1)
+        p = self.y_spatial_prior_adaptors[step - 1](p)
+        for blk in self.y_spatial_prior:
+            p = blk(p)
+        scales, means = jnp.split(p, 2, axis=-1)
+        return scales, means
+
+    # ---- fused forward (training / bpp estimation) ------------------------
+    def __call__(self, y, img_hw: Tuple[int, int], q_idx: int = 0,
+                 training: bool = False, noise_rng: Optional[jax.Array] = None,
+                 force_zero_thres: Optional[float] = None):
+        y = self.encode_transform(y, q_idx)
+        common = self.prior_params(y.shape[:3], q_idx)
+        step_fns = [functools.partial(self.spatial_step, i) for i in (1, 2, 3)]
+        out = forward_four_part_prior(
+            y, common, step_fns, reduction_fn=self.reduce_common,
+            training=training,
+            force_zero_thres=None if training else force_zero_thres)
+        y_hat = self.decode_transform(out.y_hat, q_idx)
+
+        pixel_num = img_hw[0] * img_hw[1]
+        # Noise-proxy bpp (differentiable) vs hard-quant bpp
+        # (reference: sq_bottleneck.py:140-156).
+        if noise_rng is not None:
+            y_for_bit_noise = add_uniform_noise(out.y_res, noise_rng)
+        else:
+            y_for_bit_noise = out.y_res
+        bits_noise = gaussian_bits(y_for_bit_noise, out.scales_hat, training=True)
+        bpp_noise = jnp.mean(jnp.sum(bits_noise, axis=(1, 2, 3)) / pixel_num)
+        bits_direct = gaussian_bits(jax.lax.stop_gradient(out.y_q),
+                                    out.scales_hat, training=training)
+        bpp_direct = jnp.mean(jnp.sum(bits_direct, axis=(1, 2, 3)) / pixel_num)
+        bpp = bpp_noise if training else bpp_direct
+        return y_hat, {"y_hat": y_hat, "bpp": bpp, "bpp_direct": bpp_direct,
+                       "bpp_noise": bpp_noise}
+
+
+class BottleneckCoder:
+    """Host driver: real bitstream compress/decompress for a bottleneck.
+
+    Jits one function per coding stage and shares them between compress and
+    decompress, guaranteeing the bit-exact round-trip.
+    """
+
+    def __init__(self, module: CompressiveBottleneck, params,
+                 force_zero_thres: Optional[float] = 0.12,
+                 stream_part: int = 1):
+        self.module = module
+        self.params = params
+        self.force_zero_thres = force_zero_thres
+        self.tables = build_gaussian_tables("gaussian")
+        self.coder = EntropyCoder(stream_part)
+        self.cdf_group = self.coder.add_cdf(
+            self.tables.quantized_cdf, self.tables.cdf_length, self.tables.offset)
+
+        apply = module.apply
+
+        @functools.partial(jax.jit, static_argnames=("q_idx",))
+        def _encode_transform(params, y, q_idx):
+            return apply(params, y, q_idx, method=CompressiveBottleneck.encode_transform)
+
+        @functools.partial(jax.jit, static_argnames=("q_idx",))
+        def _decode_transform(params, y_hat, q_idx):
+            return apply(params, y_hat, q_idx, method=CompressiveBottleneck.decode_transform)
+
+        @functools.partial(jax.jit, static_argnames=("shape_bhw", "q_idx"))
+        def _prior(params, shape_bhw, q_idx):
+            common = apply(params, shape_bhw, q_idx,
+                           method=CompressiveBottleneck.prior_params)
+            quant_step, scales, means = separate_prior(common, "quantstep3")
+            common_reduced = apply(params, common,
+                                   method=CompressiveBottleneck.reduce_common)
+            return jnp.maximum(quant_step, 0.5), scales, means, common_reduced
+
+        @functools.partial(jax.jit, static_argnames=("step",))
+        def _spatial_step(params, step, y_hat_so_far, common_reduced):
+            return apply(params, step, y_hat_so_far, common_reduced,
+                         method=CompressiveBottleneck.spatial_step)
+
+        thres = force_zero_thres
+
+        @functools.partial(jax.jit, static_argnames=("step",))
+        def _write_plane(y_div, scales, means, step):
+            """Quantize step's positions -> (symbol plane, index plane)."""
+            H, W, C = y_div.shape[1:]
+            mask = four_part_masks(H, W, C, y_div.dtype)[step]
+            _, y_q, _, _ = process_with_mask(y_div, scales, means, mask,
+                                             training=False,
+                                             force_zero_thres=thres)
+            sym_plane = combine_for_writing(y_q)
+            scale_plane = combine_for_writing(scales * mask)
+            idx_plane = build_indexes(scale_plane, skip_thres=thres)
+            return sym_plane.astype(jnp.int32), idx_plane
+
+        @functools.partial(jax.jit, static_argnames=("step",))
+        def _read_plane(scales, step):
+            """Scale plane + indexes for the decoder side of a step."""
+            H, W, C = scales.shape[1:]
+            mask = four_part_masks(H, W, C, scales.dtype)[step]
+            scale_plane = combine_for_writing(scales * mask)
+            idx_plane = build_indexes(scale_plane, skip_thres=thres)
+            return idx_plane
+
+        @functools.partial(jax.jit, static_argnames=("step",))
+        def _recon_step(sym_plane, means, step):
+            """Scatter an integer plane back under the step mask and add means."""
+            B, H, W, Cq = sym_plane.shape
+            mask = four_part_masks(H, W, Cq * 4, means.dtype)[step]
+            full = jnp.concatenate([sym_plane.astype(means.dtype)] * 4, axis=-1)
+            return (full + means) * mask
+
+        self._encode_transform = _encode_transform
+        self._decode_transform = _decode_transform
+        self._prior = _prior
+        self._spatial_step = _spatial_step
+        self._write_plane = _write_plane
+        self._read_plane = _read_plane
+        self._recon_step = _recon_step
+
+    # -- public API ---------------------------------------------------------
+    def forward(self, y, img_hw, q_idx: int = 0) -> Tuple[jax.Array, Dict[str, Any]]:
+        fn = functools.partial(self.module.apply, self.params, training=False,
+                               force_zero_thres=self.force_zero_thres)
+        return jax.jit(fn, static_argnames=("img_hw", "q_idx"))(
+            y, img_hw=tuple(img_hw), q_idx=q_idx)
+
+    def compress(self, y, q_idx: int = 0):
+        """y: (B, H, W, feat_dim) -> (bit_stream bytes, y_hat)."""
+        p = self.params
+        y_t = self._encode_transform(p, y, q_idx)
+        quant_step, scales, means, common = self._prior(p, tuple(y_t.shape[:3]), q_idx)
+        y_div = y_t / quant_step
+
+        self.coder.reset()
+        y_hat_so_far = jnp.zeros_like(y_div)
+        planes = []
+        for step in range(4):
+            if step > 0:
+                scales, means = self._spatial_step(p, step, y_hat_so_far, common)
+            sym_plane, idx_plane = self._write_plane(y_div, scales, means, step)
+            planes.append((np.asarray(sym_plane), np.asarray(idx_plane)))
+            y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane, means, step)
+
+        for sym, idx in planes:
+            self.coder.encode_with_indexes(sym, idx, self.cdf_group)
+        self.coder.flush()
+        stream = self.coder.get_encoded_stream()
+
+        y_hat = self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
+        return stream, y_hat
+
+    def decompress(self, bit_stream: bytes, feat_shape, q_idx: int = 0):
+        """feat_shape: (B, H, W, quant_dim) of the transformed latent."""
+        p = self.params
+        B, H, W, C = feat_shape
+        self.coder.set_stream(bit_stream)
+        quant_step, scales, means, common = self._prior(p, (B, H, W), q_idx)
+
+        y_hat_so_far = jnp.zeros((B, H, W, C), dtype=quant_step.dtype)
+        for step in range(4):
+            if step > 0:
+                scales, means = self._spatial_step(p, step, y_hat_so_far, common)
+            idx_plane = self._read_plane(scales, step)
+            idx_np = np.asarray(idx_plane)
+            sym_np = self.coder.decode_stream(idx_np, self.cdf_group)
+            sym_plane = jnp.asarray(sym_np.reshape(idx_np.shape), dtype=jnp.int32)
+            y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane, means, step)
+
+        return self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
+
+    def compress_decompress(self, y, img_hw, q_idx: int = 0):
+        """Round-trip with the reference's validity contract
+        (reference: sq_bottleneck.py:202-216)."""
+        B, H, W, _ = y.shape
+        feat_shape = (B, H, W, self.module.quant_dim)
+        stream, y_hat_enc = self.compress(y, q_idx)
+        y_hat = self.decompress(stream, feat_shape, q_idx)
+        assert float(jnp.sum(jnp.abs(y_hat - y_hat_enc))) == 0.0, \
+            "entropy-coded reconstruction diverged from encoder simulation"
+        bpp = len(stream) * 8 / (img_hw[0] * img_hw[1])
+        _, est = self.forward(y, tuple(img_hw), q_idx)
+        bpp_est = float(est["bpp"])
+        return y_hat, {"y_hat": y_hat, "bpp": bpp, "bit_stream": stream,
+                       "bpp_est": bpp_est, "bpp_diff": bpp - bpp_est}
