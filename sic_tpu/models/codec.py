@@ -1,0 +1,254 @@
+"""Top-level searchable generative codec: model + deployment runtime.
+
+TPU re-design of the reference ``Codec`` LightningModule
+(reference: src/models/codec_sq_fixbpp.py:442-922).  The flax :class:`Codec`
+is pure compute (training logic lives in ``sic_tpu.train``); the host-side
+:class:`CodecRuntime` drives real-bitstream ``encode_only`` / ``decode_only``
+/ ``encode_decode`` against the native rANS coder, with every device stage
+jitted once and shared between the encode and decode paths.
+
+Stream layout parity: the semantic (TiTok token) stream is coded with a
+uniform CDF over the codebook — the reference uses the external ``torchac``
+arithmetic coder for this (codec_sq_fixbpp.py:861-864, 886-887); here it is
+one more CDF group of the same rANS coder, removing the extra dependency and
+the second coder implementation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import EntropyCoder
+from .bottleneck import BottleneckCoder, CompressiveBottleneck
+from .hybrid import FeatMerge, HybridCodec, TiTokSpec
+from .vqgan import VQGAN, VQGANSpec
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecSpec:
+    """Full-model hyperparameters (reference: src/config/config_test.yaml)."""
+    titok: TiTokSpec = TiTokSpec()
+    vqgan: VQGANSpec = VQGANSpec()
+    feat_width: int = 768            # feat_dim
+    quant_dim: int = 64              # embed_dim of the detail bottleneck
+    insert_pos_enc: Tuple[int, ...] = (3, 7, 11, 15, 19)
+    insert_pos_dec: Tuple[int, ...] = (3, 7, 11, 15, 19)
+    num_attns: int = 2
+    merge_inner_width: int = 1024    # FeatMerge trunk width (reference: codec_sq_fixbpp.py:411)
+    remat: bool = False              # save_mem
+    force_zero_thres: float = 0.12
+
+    @property
+    def tile_px(self) -> int:
+        return self.titok.tile_px
+
+
+def get_padding_size(height: int, width: int, p: int = 256):
+    """Pad-to-multiple, right/bottom only (reference: compression_model.py:13-22)."""
+    new_h = (height + p - 1) // p * p
+    new_w = (width + p - 1) // p * p
+    return 0, new_w - width, 0, new_h - height
+
+
+def pad_replicate(x, pads):
+    """NHWC replicate-pad (l, r, t, b) — the reference's F.pad 'replicate'."""
+    l, r, t, b = pads
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge")
+
+
+class Codec(nn.Module):
+    """Hybrid codec + VQGAN pixel decoder + prior fusion."""
+    spec: CodecSpec
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        s = self.spec
+        self.hybrid_codec = HybridCodec(
+            s.titok, s.insert_pos_enc, s.insert_pos_dec, s.feat_width,
+            s.quant_dim, s.num_attns, s.remat, self.dtype)
+        self.vqgan = VQGAN(s.vqgan, self.dtype)
+        self.prior_fusion = FeatMerge(s.titok.width, s.feat_width,
+                                      s.vqgan.n_embed, s.merge_inner_width,
+                                      dtype=self.dtype)
+
+    # -- teacher path (frozen VQGAN encoder) ---------------------------------
+    def encode_to_vqgan(self, x):
+        """x in [-1, 1] -> (teacher latent, teacher indices)
+        (reference: codec_sq_fixbpp.py:650-655)."""
+        h = self.vqgan.encode_latent(x)
+        h_q, _, info = self.vqgan.quantize(h)
+        return h_q, info["indices"]
+
+    # -- generative decode ----------------------------------------------------
+    def decode_to_latent(self, titok_hat, feat_hat):
+        """Soft codebook mixture from fused logits
+        (reference: codec_sq_fixbpp.py:658-663)."""
+        logits = self.prior_fusion(titok_hat, feat_hat)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        codebook = self.vqgan.quantize.codebook()
+        latent = jnp.einsum("bhwn,nd->bhwd", probs, codebook)
+        return latent.astype(logits.dtype), logits
+
+    def decode_to_image(self, quantized_latent):
+        return self.vqgan.decode(quantized_latent)
+
+    # -- full forward (training) ----------------------------------------------
+    def __call__(self, x, need_full_decode: bool = True,
+                 training: bool = False, noise_rng=None):
+        """x: (B, H, W, 3) in [-1, 1] (the hybrid branch sees [0, 1];
+        reference: codec_sq_fixbpp.py:673)."""
+        enc = self.hybrid_codec(x * 0.5 + 0.5, training, noise_rng)
+        latent, logits = self.decode_to_latent(enc["titok_hat"], enc["feat_hat"])
+        x_hat = self.decode_to_image(latent) if need_full_decode else None
+        return {"x": x, "x_hat": x_hat,
+                "bpp_loss": enc["h_result_dict"]["bpp"],
+                "bpp_hard_quant": enc["h_result_dict"]["bpp_direct"],
+                "vq_loss": enc["z_result_dict"]["quantizer_loss"],
+                "logits": logits, "vqgan_latent": latent}
+
+    # -- deployment stages (used jitted by CodecRuntime) ----------------------
+    def encode_stage(self, x01):
+        """[0,1] padded image -> (z token indices, detail latent, stack_shape)."""
+        z, h, stack_shape = self.hybrid_codec.encoder(
+            x01, self.hybrid_codec.latent_tokens)
+        _, z_result = self.hybrid_codec.quantize(z)
+        return z_result["min_encoding_indices"], h, stack_shape
+
+    def decode_stage(self, z_indices, h_hat, stack_shape):
+        """Token indices + decoded detail latent -> [-1,1] image."""
+        z_hat = self.hybrid_codec.decode_z_indices(z_indices)
+        titok_hat, feat_hat = self.hybrid_codec.decode(z_hat, h_hat, stack_shape)
+        latent, _ = self.decode_to_latent(titok_hat, feat_hat)
+        x_hat = self.decode_to_image(latent)
+        return jnp.clip(x_hat, -1.0, 1.0)
+
+    def init_all(self, x):
+        """Touch every parameterized path so ``init`` creates the full tree
+        (flax only materializes params on executed branches)."""
+        out = self(x, need_full_decode=True)
+        teacher = self.encode_to_vqgan(x)
+        return out, teacher
+
+
+def init_codec(spec: CodecSpec, rng, image_hw: Tuple[int, int] = None,
+               dtype=None):
+    """Initialize the full Codec param tree on a dummy batch (one tile)."""
+    hw = image_hw or (spec.tile_px, spec.tile_px)
+    model = Codec(spec, dtype)
+    x = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
+    init_fn = jax.jit(functools.partial(model.init, method=Codec.init_all))
+    params = init_fn(rng, x)
+    return model, params
+
+
+class CodecRuntime:
+    """Host driver for real-bitstream deployment paths.
+
+    (reference: codec_sq_fixbpp.py:849-922)
+    """
+
+    def __init__(self, spec: CodecSpec, params, dtype=None, stream_part: int = 1):
+        self.spec = spec
+        self.model = Codec(spec, dtype)
+        self.params = params
+
+        apply = self.model.apply
+
+        @jax.jit
+        def _encode(p, x01):
+            return apply(p, x01, method=Codec.encode_stage)
+
+        @functools.partial(jax.jit, static_argnames=("stack_shape",))
+        def _decode(p, z_indices, h_hat, stack_shape):
+            return apply(p, z_indices, h_hat, stack_shape,
+                         method=Codec.decode_stage)
+
+        self._encode = _encode
+        self._decode = _decode
+
+        # detail-stream coder over the bottleneck parameter subtree
+        bn_params = {"params": params["params"]["hybrid_codec"]["quantize_feat"]}
+        bn_module = CompressiveBottleneck(spec.feat_width, spec.quant_dim)
+        self.h_coder = BottleneckCoder(bn_module, bn_params,
+                                       force_zero_thres=spec.force_zero_thres,
+                                       stream_part=stream_part)
+
+        # semantic-stream coder: uniform CDF over the TiTok codebook
+        K = spec.titok.codebook_size
+        precision = 16
+        freq = (1 << precision) // K
+        cdf = np.zeros((1, K + 1), np.int32)
+        cdf[0, 1:] = np.cumsum(np.full(K, freq, np.int64))
+        cdf[0, -1] = 1 << precision
+        self.z_coder = EntropyCoder(stream_part)
+        self.z_cdf_group = self.z_coder.add_cdf(
+            cdf, np.array([K + 1], np.int32), np.array([0], np.int32))
+
+    # -- API parity with the reference deployment methods ---------------------
+    def encode_only(self, x) -> Dict[str, Any]:
+        """x: (B, H, W, 3) in [-1, 1], H/W multiples of tile_px."""
+        B, H, W, _ = x.shape
+        x01 = jnp.asarray(x) * 0.5 + 0.5
+        z_indices, h, _ = self._encode(self.params, x01)
+        # tile grid is a static function of the padded image size
+        stack_shape = (H // self.spec.tile_px, W // self.spec.tile_px)
+
+        idx_np = np.asarray(z_indices).reshape(-1)
+        self.z_coder.reset()
+        self.z_coder.encode_with_indexes(
+            idx_np.astype(np.int32), np.zeros(idx_np.size, np.int16),
+            self.z_cdf_group)
+        self.z_coder.flush()
+        z_bit_stream = self.z_coder.get_encoded_stream()
+
+        h_bit_stream, _ = self.h_coder.compress(h, q_idx=0)
+
+        return {
+            "z_bit_stream": z_bit_stream,
+            "h_bit_stream": h_bit_stream,
+            "img_shape": (H, W),
+            "feat_shape": tuple(h.shape),
+            "stack_shape": tuple(stack_shape),
+            "token_length": int(idx_np.size),
+            "z_indices_shape": tuple(np.asarray(z_indices).shape),
+        }
+
+    def decode_only(self, z_bit_stream, h_bit_stream, img_shape, feat_shape,
+                    stack_shape, token_length, z_indices_shape,
+                    **_ignored) -> jax.Array:
+        """Returns x_hat (B, H, W, 3) clamped to [-1, 1]."""
+        self.z_coder.set_stream(z_bit_stream)
+        sym = self.z_coder.decode_stream(
+            np.zeros(int(token_length), np.int16), self.z_cdf_group)
+        z_indices = jnp.asarray(sym.astype(np.int32).reshape(z_indices_shape))
+
+        # feat_shape carries the pre-transform detail feature (B, H/32, W/32,
+        # feat_width); the coded latent has quant_dim channels at the same grid.
+        B, Hf, Wf, _ = tuple(feat_shape)
+        latent_shape = (B, Hf, Wf, self.spec.quant_dim)
+        h_hat = self.h_coder.decompress(h_bit_stream, latent_shape, q_idx=0)
+        return self._decode(self.params, z_indices, h_hat, tuple(stack_shape))
+
+    def encode_decode(self, x, original_shape: Tuple[int, int]):
+        """Round-trip with bpp accounting (reference: codec_sq_fixbpp.py:904-922)."""
+        enc_result = self.encode_only(x)
+        x_hat = self.decode_only(**enc_result)
+        z_bits = len(enc_result["z_bit_stream"]) * 8
+        h_bits = len(enc_result["h_bit_stream"]) * 8
+        overhead_bits = 8 * 6  # 4 B height/width + 2 B token-stream length
+        h, w = original_shape
+        bpp_dict = {
+            "z_bpp": z_bits / (h * w),
+            "h_bpp": h_bits / (h * w),
+            "overhead_bpp": overhead_bits / (h * w),
+            "total_bpp": (z_bits + h_bits + overhead_bits) / (h * w),
+        }
+        return x_hat, bpp_dict, enc_result

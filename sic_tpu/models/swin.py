@@ -1,0 +1,155 @@
+"""Swin window attention (flax, NHWC, TPU-first).
+
+Counterpart of the reference's detail-branch Swin blocks
+(reference: src/blocks/swin_transformer.py:64-156, src/models/
+codec_sq_fixbpp.py:33-45).  Windows become one extra batch axis so the whole
+layer is a single batched attention einsum on the MXU; the cyclic shift is
+``jnp.roll`` (a static lane rotation after XLA layout assignment); shift
+masks are built in numpy at trace time and constant-folded.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def _relative_index(window_size: int) -> np.ndarray:
+    """(S, S, 2) table of pairwise offsets shifted to [0, 2*ws-2]."""
+    coords = np.stack(np.meshgrid(np.arange(window_size), np.arange(window_size),
+                                  indexing="ij"), axis=-1).reshape(-1, 2)
+    rel = coords[None, :, :] - coords[:, None, :]
+    return rel + window_size - 1
+
+
+def _shift_masks(window_size: int) -> tuple:
+    """Additive -inf masks for the shifted layout
+    (reference: swin_transformer.py:42-55)."""
+    d = window_size // 2
+    s = window_size * window_size
+    ul = np.zeros((s, s), np.float32)
+    ul[-d * window_size:, :-d * window_size] = -np.inf
+    ul[:-d * window_size, -d * window_size:] = -np.inf
+    lr = np.zeros((window_size, window_size, window_size, window_size), np.float32)
+    lr[:, -d:, :, :-d] = -np.inf
+    lr[:, :-d, :, -d:] = -np.inf
+    lr = lr.reshape(s, s)
+    return ul, lr
+
+
+def _full_shift_mask(nwh: int, nww: int, window_size: int) -> np.ndarray:
+    """Per-window additive mask (nwh*nww, S, S), constant-folded by XLA."""
+    ul, lr = _shift_masks(window_size)
+    s = window_size * window_size
+    mask = np.zeros((nwh, nww, s, s), np.float32)
+    mask[-1, :, :, :] += ul          # last window row
+    mask[:, -1, :, :] += lr          # last window column
+    return mask.reshape(nwh * nww, s, s)
+
+
+class WindowAttention(nn.Module):
+    """Windowed MHSA with optional cyclic shift + relative position bias."""
+    heads: int
+    head_dim: int
+    window_size: int
+    shifted: bool
+    relative_pos_embedding: bool
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        ws, hds = self.window_size, self.heads
+        inner = hds * self.head_dim
+        assert H % ws == 0 and W % ws == 0, (H, W, ws)
+        nwh, nww = H // ws, W // ws
+        s = ws * ws
+
+        if self.shifted:
+            d = ws // 2
+            x = jnp.roll(x, shift=(-d, -d), axis=(1, 2))
+
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(x)
+        qkv = qkv.reshape(B, nwh, ws, nww, ws, 3, hds, self.head_dim)
+        qkv = qkv.transpose(5, 0, 6, 1, 3, 2, 4, 7)  # (3, B, h, nwh, nww, ws, ws, d)
+        qkv = qkv.reshape(3, B, hds, nwh * nww, s, self.head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        scale = self.head_dim ** -0.5
+        dots = jnp.einsum("bhwid,bhwjd->bhwij", q * scale, k,
+                          preferred_element_type=jnp.float32)
+
+        if self.relative_pos_embedding:
+            pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                             (2 * ws - 1, 2 * ws - 1))
+            idx = _relative_index(ws)
+            bias = pos[idx[:, :, 0], idx[:, :, 1]]
+        else:
+            bias = self.param("pos_embedding", nn.initializers.normal(1.0), (s, s))
+        dots = dots + bias.astype(dots.dtype)
+
+        if self.shifted:
+            dots = dots + jnp.asarray(_full_shift_mask(nwh, nww, ws))[None, None]
+
+        probs = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhwij,bhwjd->bhwid", probs, v)
+        out = out.reshape(B, hds, nwh, nww, ws, ws, self.head_dim)
+        out = out.transpose(0, 2, 4, 3, 5, 1, 6).reshape(B, H, W, inner)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
+
+        if self.shifted:
+            d = ws // 2
+            out = jnp.roll(out, shift=(d, d), axis=(1, 2))
+        return out
+
+
+class SwinBlock(nn.Module):
+    """Pre-LN window-attention block (reference: swin_transformer.py:131-156)."""
+    heads: int
+    head_dim: int
+    mlp_dim: int
+    window_size: int
+    shifted: bool
+    relative_pos_embedding: bool
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_attn")(x)
+        x = x + WindowAttention(self.heads, self.head_dim, self.window_size,
+                                self.shifted, self.relative_pos_embedding,
+                                self.dtype, name="attention_block")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_mlp")(x)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_fc2")(h)
+        return x + h
+
+
+class SwinStack(nn.Module):
+    """``get_swin`` counterpart: alternating-shift Swin layers at head_dim 64
+    (reference: codec_sq_fixbpp.py:33-45).  NHWC in/out — the torch BCHW
+    rearrange wrappers have no TPU analogue (NHWC is native)."""
+    width: int
+    num_layers: int
+    mlp_ratio: float = 4.0
+    window_size: int = 16
+    inverse_shifted: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.width % 64 == 0
+        for i in range(self.num_layers):
+            shifted = (not bool(i % 2)) if self.inverse_shifted else bool(i % 2)
+            rel = False if self.inverse_shifted else (i == 0)
+            x = SwinBlock(self.width // 64, 64, int(self.width * self.mlp_ratio),
+                          self.window_size, shifted, rel, self.dtype,
+                          name=f"block_{i}")(x)
+        return x

@@ -1,16 +1,24 @@
 """Test harness configuration.
 
 Runs everything on a virtual 8-device CPU mesh so multi-chip sharding logic
-is exercised without TPU hardware.  Must run before the first ``import jax``.
+is exercised without TPU hardware.  The environment may pre-import jax (the
+axon sitecustomize registers the TPU plugin at interpreter start), so the
+platform override must go through ``jax.config`` — plain ``os.environ``
+writes are too late.  Backends initialize lazily, so this works as long as
+no jax computation ran yet.
 """
 import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
