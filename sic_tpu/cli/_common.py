@@ -1,0 +1,75 @@
+"""Shared CLI plumbing: model/config/clip loading, determinism, progress."""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def init_func(seed: int = 0):
+    """Determinism hook (reference: src/compress.py:314-319)."""
+    np.random.seed(seed)
+
+
+def progress(iterable, total=None, desc=""):
+    total = total if total is not None else (
+        len(iterable) if hasattr(iterable, "__len__") else None)
+    t0 = time.time()
+    for i, item in enumerate(iterable):
+        yield item
+        if total and (i + 1) % max(1, total // 20) == 0:
+            rate = (i + 1) / (time.time() - t0)
+            print(f"[{desc}] {i + 1}/{total} ({rate:.2f}/s)", file=sys.stderr,
+                  flush=True)
+
+
+def load_spec_and_cfg(base_config: Optional[str]):
+    """Config YAML path (reference layout) or None -> flagship preset."""
+    from ..config import LoadedConfig, flagship_spec, load_config
+    from ..train.steps import FeatLossCfg, ImgLossCfg
+    if base_config:
+        return load_config(base_config)
+    return LoadedConfig(flagship_spec(), None, FeatLossCfg(), ImgLossCfg())
+
+
+def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
+                 dtype=None):
+    """Build a CodecRuntime from config + optional checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..checkpoint import load_codec_params
+    from ..models import CodecRuntime, init_codec
+
+    cfg = load_spec_and_cfg(base_config)
+    if dtype is None:
+        # bf16 is native on TPU; on CPU it is emulated and ~4x slower
+        dtype = None if jax.devices()[0].platform == "cpu" else jnp.bfloat16
+    if ckpt_path:
+        params = load_codec_params(ckpt_path, cfg.spec, dtype=dtype)
+    else:
+        print("[WARN] no --ckpt_path given; running with random weights",
+              file=sys.stderr)
+        _, params = init_codec(cfg.spec, jax.random.PRNGKey(0), dtype=dtype)
+    return CodecRuntime(cfg.spec, params, dtype=dtype), cfg
+
+
+def load_clip_codec(clip_ckpt: Optional[str] = None,
+                    bpe_path: Optional[str] = None):
+    from ..retrieval import ClipCodec, CLIPSpec, port_open_clip_weights
+    params = port_open_clip_weights(clip_ckpt) if clip_ckpt else None
+    if params is None:
+        print("[WARN] no --clip_ckpt given; CLIP embeddings are "
+              "non-calibrated (random weights)", file=sys.stderr)
+    return ClipCodec(params=params, bpe_path=bpe_path)
+
+
+def save_png(path, img_array):
+    """(H, W, 3) in [-1, 1] -> PNG file."""
+    from PIL import Image
+    u8 = np.clip((np.asarray(img_array) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    Image.fromarray(u8).save(path)

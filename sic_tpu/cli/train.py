@@ -1,0 +1,115 @@
+"""train CLI — the explicit training entry point the reference lacks.
+
+(The reference expresses training only as a LightningModule + YAML trainer
+section and expects an external Lightning ``main.py``; SURVEY.md §1 note.)
+
+Drives the 3-stage schedule (``feat_wo_bpp`` -> ``feat`` -> ``pix``) with
+the validation-bpp lambda controller and orbax checkpoints.  Accepts either
+a reference-layout YAML (--base_config) or a QP preset (--qp/--train_px).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="sic_tpu train")
+    ap.add_argument("--base_config", type=str, default=None,
+                    help="reference-layout training YAML")
+    ap.add_argument("--qp", type=int, default=None, choices=(0, 1, 2, 3),
+                    help="rate preset instead of a YAML")
+    ap.add_argument("--train_px", type=int, default=256, choices=(256, 512))
+    ap.add_argument("--train_list", type=str, default=None,
+                    help="txt file of training image paths")
+    ap.add_argument("--val_list", type=str, default=None)
+    ap.add_argument("--train_dir", type=str, default=None,
+                    help="image directory alternative to --train_list")
+    ap.add_argument("--val_dir", type=str, default=None)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--ckpt_dir", type=str, default="./ckpts")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="orbax training-state checkpoint to resume")
+    ap.add_argument("--reset_schedule", action="store_true",
+                    help="resume weights but restart the stage schedule "
+                         "(the reference's ignore_keys=['epoch_for_strategy',"
+                         "'lmbda_idx','lmbda_list'])")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny spec for smoke runs")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..config import (flagship_spec, load_config, qp_strategy, tiny_spec)
+    from ..data import ImageDataset
+    from ..train import (FeatLossCfg, ImgLossCfg, Trainer, TrainingStrategy,
+                         create_train_state, load_checkpoint)
+
+    if args.base_config:
+        cfg = load_config(args.base_config)
+        spec, strategy = cfg.spec, cfg.strategy
+        feat_cfg, img_cfg = cfg.feat_cfg, cfg.img_cfg
+        tune_titok = cfg.tune_titok
+    else:
+        spec = tiny_spec() if args.tiny else flagship_spec()
+        strategy = qp_strategy(args.qp if args.qp is not None else 0,
+                               args.train_px)
+        feat_cfg, img_cfg = FeatLossCfg(), ImgLossCfg()
+        tune_titok = False
+
+    if args.train_list:
+        train_ds = ImageDataset.from_list_file(args.train_list,
+                                               size=args.train_px, train=True)
+    elif args.train_dir:
+        train_ds = ImageDataset.from_dir(args.train_dir, size=args.train_px,
+                                         train=True)
+    else:
+        ap.error("need --train_list or --train_dir")
+    if args.val_list:
+        val_ds = ImageDataset.from_list_file(args.val_list,
+                                             size=args.train_px, train=False)
+    elif args.val_dir:
+        val_ds = ImageDataset.from_dir(args.val_dir, size=args.train_px,
+                                       train=False)
+    else:
+        val_ds = None
+
+    codec, state, steps = create_train_state(
+        spec, strategy, jax.random.PRNGKey(args.seed),
+        feat_cfg=feat_cfg, img_cfg=img_cfg,
+        image_hw=(args.train_px, args.train_px), tune_titok=tune_titok)
+    if args.resume:
+        resumed = load_checkpoint(args.resume, state)
+        if args.reset_schedule:
+            resumed = resumed.replace(
+                epoch_for_strategy=state.epoch_for_strategy,
+                lmbda_idx=state.lmbda_idx, lmbda_list=state.lmbda_list)
+        state = resumed
+
+    def log_fn(d):
+        print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                          for k, v in d.items()}), file=sys.stderr, flush=True)
+
+    epoch0 = [int(state.epoch_for_strategy)]
+    trainer = Trainer(codec, state, steps, strategy,
+                      ckpt_dir=args.ckpt_dir, log_fn=log_fn)
+
+    def train_data():
+        e = int(trainer.state.epoch_for_strategy)
+        return train_ds.batches(args.batch_size, epoch=e)
+
+    def val_data():
+        return val_ds.batches(args.batch_size, shuffle=False) if val_ds else iter(())
+
+    trainer.fit(train_data, val_data if val_ds else None, epochs=args.epochs)
+    print(f"[OK] training done; checkpoints in {args.ckpt_dir}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,18 +97,26 @@ class Codec(nn.Module):
         latent = jnp.einsum("bhwn,nd->bhwd", probs, codebook)
         return latent.astype(logits.dtype), logits
 
-    def decode_to_image(self, quantized_latent):
-        return self.vqgan.decode(quantized_latent)
+    def decode_to_image(self, quantized_latent, return_pre: bool = False):
+        return self.vqgan.decode(quantized_latent, return_pre=return_pre)
 
     # -- full forward (training) ----------------------------------------------
     def __call__(self, x, need_full_decode: bool = True,
-                 training: bool = False, noise_rng=None):
+                 training: bool = False, noise_rng=None,
+                 return_pre_out: bool = False):
         """x: (B, H, W, 3) in [-1, 1] (the hybrid branch sees [0, 1];
         reference: codec_sq_fixbpp.py:673)."""
         enc = self.hybrid_codec(x * 0.5 + 0.5, training, noise_rng)
         latent, logits = self.decode_to_latent(enc["titok_hat"], enc["feat_hat"])
-        x_hat = self.decode_to_image(latent) if need_full_decode else None
-        return {"x": x, "x_hat": x_hat,
+        pre_out = None
+        if need_full_decode:
+            if return_pre_out:
+                x_hat, pre_out = self.decode_to_image(latent, return_pre=True)
+            else:
+                x_hat = self.decode_to_image(latent)
+        else:
+            x_hat = None
+        return {"x": x, "x_hat": x_hat, "pre_out": pre_out,
                 "bpp_loss": enc["h_result_dict"]["bpp"],
                 "bpp_hard_quant": enc["h_result_dict"]["bpp_direct"],
                 "vq_loss": enc["z_result_dict"]["quantizer_loss"],

@@ -26,7 +26,7 @@ class MultiheadSelfAttention(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_mask=None):
         d_model = x.shape[-1]
         assert d_model % self.num_heads == 0
         head_dim = d_model // self.num_heads
@@ -42,6 +42,8 @@ class MultiheadSelfAttention(nn.Module):
         scale = head_dim ** -0.5
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                             preferred_element_type=jnp.float32)
+        if attn_mask is not None:
+            logits = logits + attn_mask.astype(logits.dtype)
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         B, _, S, _ = out.shape
@@ -69,10 +71,11 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_mask=None):
         d_model = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
-        x = x + MultiheadSelfAttention(self.num_heads, self.dtype, name="attn")(h)
+        x = x + MultiheadSelfAttention(self.num_heads, self.dtype,
+                                       name="attn")(h, attn_mask)
         if self.mlp_ratio > 0:
             h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
             x = x + MLP(int(d_model * self.mlp_ratio), self.dtype, name="mlp")(h)

@@ -146,7 +146,8 @@ class Decoder(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, z, deterministic: bool = True):
+    def __call__(self, z, deterministic: bool = True,
+                 return_pre: bool = False):
         s = self.spec
         block_in = s.ch * s.ch_mult[-1]
         curr_res = s.resolution // s.downsample_factor
@@ -167,7 +168,13 @@ class Decoder(nn.Module):
                 curr_res *= 2
         h = _norm("norm_out", self.dtype)(h)
         h = nn.swish(h)
-        return nn.Conv(s.out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
+        out = nn.Conv(s.out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
+        if return_pre:
+            # pre-conv_out activation, used by the adaptive GAN weight
+            # (reference: vqperceptual.py:67-78 differentiates w.r.t. the
+            # last conv's kernel; h is the only other operand it needs)
+            return out, h
+        return out
 
 
 class VQGAN(nn.Module):
@@ -196,8 +203,8 @@ class VQGAN(nn.Module):
         """Pre-VQ latent (the frozen teacher path of stage feat training)."""
         return self.quant_conv(self.encoder(x))
 
-    def decode(self, quant):
-        return self.decoder(self.post_quant_conv(quant))
+    def decode(self, quant, return_pre: bool = False):
+        return self.decoder(self.post_quant_conv(quant), return_pre=return_pre)
 
     def decode_code(self, code_b):
         return self.decode(self.quantize.embed_code(code_b))

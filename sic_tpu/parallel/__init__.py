@@ -1,0 +1,21 @@
+"""Device-mesh sharding utilities (pjit / GSPMD).
+
+TPU-native counterpart of the reference's distributed layer — NCCL DDP for
+inference sharding and Lightning DDP for training
+(reference: src/compress.py:33-55, 206-246; codec_sq_fixbpp.py:642-647).
+There is no communication "backend" to port: shardings are declared on the
+inputs, XLA inserts the collectives over ICI, and gradient all-reduce falls
+out of jitting the train step on a sharded batch.
+
+Axes:
+- ``data``  — batch (image) parallelism, the DDP counterpart;
+- ``tile``  — spatial parallelism over the 256-px tile grid: the image's W
+  axis is sharded, GSPMD halo-exchanges the convs, and the folded
+  ``(B*nH*nW)`` ViT tile-batch axis inherits the sharding.  This is the
+  workload's natural "long-context" axis (SURVEY.md §2.6).
+"""
+from .mesh import (batch_sharding, image_sharding, make_mesh, replicated,
+                   shard_batch, shard_state)
+
+__all__ = ["batch_sharding", "image_sharding", "make_mesh", "replicated",
+           "shard_batch", "shard_state"]

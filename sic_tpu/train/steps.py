@@ -1,0 +1,202 @@
+"""Jitted training / validation steps for the three-stage schedule.
+
+Counterpart of the reference's manual-optimization ``training_step``
+(reference: src/models/codec_sq_fixbpp.py:701-829).  One compiled function
+per stage family; the lambda weight arrives as a traced scalar so rate
+adaptation never recompiles.  Under a device mesh the batch axis is sharded
+and XLA inserts the gradient all-reduces (the NCCL DDP counterpart).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.codec import Codec
+from .losses import (adaptive_d_weight, adopt_weight, feat_align_loss,
+                     hinge_d_loss, vanilla_d_loss)
+from .state import TrainState, stage_grad_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatLossCfg:
+    """(reference: config_test.yaml:72-76)"""
+    mse_weight: float = 1.0
+    ce_weight: float = 0.25
+    vq_weight: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ImgLossCfg:
+    """(reference: config_test.yaml:64-70, vqperceptual.py:38-41)"""
+    disc_start: int = 0
+    disc_weight: float = 0.75
+    disc_factor: float = 1.0
+    codebook_weight: float = 1.0
+    perceptual_weight: float = 1.0
+    adaptive_disc_max: float = 1e4
+    disc_num_layers: int = 3
+    disc_ndf: int = 64
+    disc_loss: str = "hinge"
+
+
+def _last_conv_apply(h_pre, w, b):
+    """Re-apply the decoder's final 3x3 conv with kernel ``w`` (NHWC/HWIO)."""
+    out = jax.lax.conv_general_dilated(
+        h_pre, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + b
+
+
+def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
+               img_cfg: ImgLossCfg, ae_tx, disc_tx):
+    """Build the jitted step functions.  ``disc``/``lpips`` are flax modules;
+    ``ae_tx``/``disc_tx`` optax transforms."""
+    d_loss_fn = hinge_d_loss if img_cfg.disc_loss == "hinge" else vanilla_d_loss
+
+    def _nll(params_lpips, x, x_hat):
+        rec = jnp.mean(jnp.abs(x - x_hat))
+        p = jnp.mean(lpips.apply(params_lpips, x, x_hat))
+        return rec + img_cfg.perceptual_weight * p, rec, p
+
+    # ---- stage feat / feat_wo_bpp ------------------------------------------
+    @jax.jit
+    def feat_step(state: TrainState, x) -> Tuple[TrainState, Dict]:
+        rng, noise_rng = jax.random.split(state.rng)
+        lmbda = state.current_lmbda()
+        teacher_latent, teacher_idx = codec.apply(
+            state.params, x, method=Codec.encode_to_vqgan)
+
+        def loss_fn(params):
+            out = codec.apply(params, x, need_full_decode=False,
+                              training=True, noise_rng=noise_rng)
+            loss, logs = feat_align_loss(
+                out["vqgan_latent"], out["logits"], teacher_latent,
+                teacher_idx, out["vq_loss"], out["bpp_loss"],
+                mse_weight=feat_cfg.mse_weight, ce_weight=feat_cfg.ce_weight,
+                vq_weight=feat_cfg.vq_weight, sq_weight=lmbda)
+            logs["train/align_loss"] = loss
+            logs["train/bpp"] = out["bpp_loss"]
+            logs["train/bpp_hard_quant"] = out["bpp_hard_quant"]
+            logs["train/lambda"] = lmbda
+            return loss, logs
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = stage_grad_mask(grads, "feat")
+        updates, opt_state = ae_tx.update(grads, state.opt_state_ae, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state_ae=opt_state,
+                             global_step=state.global_step + 1, rng=rng), logs
+
+    # ---- stage pix: generator + discriminator -------------------------------
+    @jax.jit
+    def pix_step(state: TrainState, x) -> Tuple[TrainState, Dict]:
+        rng, noise_rng = jax.random.split(state.rng)
+        lmbda = state.current_lmbda()
+        disc_factor = adopt_weight(img_cfg.disc_factor, state.global_step,
+                                   img_cfg.disc_start)
+
+        def gen_loss_fn(params):
+            out = codec.apply(params, x, need_full_decode=True, training=True,
+                              noise_rng=noise_rng, return_pre_out=True)
+            x_hat = out["x_hat"]
+
+            def nll_of(xh):
+                nll, _, _ = _nll(state.lpips_params, x, xh)
+                return nll
+
+            def g_of(xh):
+                logits_fake, _ = disc.apply(
+                    {"params": state.disc_params,
+                     "batch_stats": state.disc_stats},
+                    xh, train=True, mutable=["batch_stats"])
+                return -jnp.mean(logits_fake)
+
+            nll, rec, p = _nll(state.lpips_params, x, x_hat)
+            g_loss = g_of(x_hat)
+
+            w_last = params["params"]["vqgan"]["decoder"]["conv_out"]["kernel"]
+            b_last = jax.lax.stop_gradient(
+                params["params"]["vqgan"]["decoder"]["conv_out"]["bias"])
+            h_pre = jax.lax.stop_gradient(out["pre_out"])
+            d_weight = adaptive_d_weight(
+                w_last,
+                lambda w: nll_of(_last_conv_apply(h_pre, w, b_last)),
+                lambda w: g_of(_last_conv_apply(h_pre, w, b_last)),
+                disc_weight=img_cfg.disc_weight,
+                max_weight=img_cfg.adaptive_disc_max)
+
+            loss = (nll + d_weight * disc_factor * g_loss
+                    + img_cfg.codebook_weight * out["vq_loss"]
+                    + lmbda * out["bpp_loss"])
+            logs = {
+                "train/ae_loss": loss, "train/nll_loss": nll,
+                "train/rec_loss": rec, "train/p_loss": p,
+                "train/g_loss": g_loss, "train/d_weight": d_weight,
+                "train/quant_loss": out["vq_loss"],
+                "train/bpp": out["bpp_loss"],
+                "train/bpp_hard_quant": out["bpp_hard_quant"],
+                "train/lambda": lmbda, "train/disc_factor": disc_factor,
+            }
+            return loss, (logs, x_hat)
+
+        (loss, (logs, x_hat)), grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(state.params)
+        grads = stage_grad_mask(grads, "pix")
+        updates, opt_ae = ae_tx.update(grads, state.opt_state_ae, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # discriminator pass on detached tensors (reference: :763-777)
+        x_hat = jax.lax.stop_gradient(x_hat)
+
+        def disc_loss_fn(disc_params):
+            v = {"params": disc_params, "batch_stats": state.disc_stats}
+            logits_real, mut = disc.apply(v, x, train=True,
+                                          mutable=["batch_stats"])
+            v = {"params": disc_params, "batch_stats": mut["batch_stats"]}
+            logits_fake, mut = disc.apply(v, x_hat, train=True,
+                                          mutable=["batch_stats"])
+            d_loss = disc_factor * d_loss_fn(logits_real, logits_fake)
+            aux = {"train/disc_loss": d_loss,
+                   "train/logits_real": jnp.mean(logits_real),
+                   "train/logits_fake": jnp.mean(logits_fake)}
+            return d_loss, (aux, mut["batch_stats"])
+
+        (_, (d_logs, disc_stats)), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state.disc_params)
+        d_updates, opt_disc = disc_tx.update(d_grads, state.opt_state_disc,
+                                             state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        logs.update(d_logs)
+        return state.replace(
+            params=params, opt_state_ae=opt_ae, disc_params=disc_params,
+            disc_stats=disc_stats, opt_state_disc=opt_disc,
+            global_step=state.global_step + 1, rng=rng), logs
+
+    # ---- validation ----------------------------------------------------------
+    @jax.jit
+    def eval_step(state: TrainState, x) -> Dict[str, jax.Array]:
+        lmbda = state.current_lmbda()
+        teacher_latent, teacher_idx = codec.apply(
+            state.params, x, method=Codec.encode_to_vqgan)
+        out = codec.apply(state.params, x, need_full_decode=True,
+                          training=False)
+        align, _ = feat_align_loss(
+            out["vqgan_latent"], out["logits"], teacher_latent, teacher_idx,
+            out["vq_loss"], out["bpp_loss"], mse_weight=feat_cfg.mse_weight,
+            ce_weight=feat_cfg.ce_weight, vq_weight=feat_cfg.vq_weight,
+            sq_weight=lmbda, split="val")
+        nll, rec, p = _nll(state.lpips_params, x, out["x_hat"])
+        # checkpoint-selection loss; +100 outside stage pix is applied by the
+        # host loop (reference: codec_sq_fixbpp.py:821-828)
+        saved_loss = rec + lmbda * out["bpp_loss"] * 2.0
+        return {"val/align_loss": align, "val/rec_loss": rec,
+                "val/p_loss": p, "val/nll_loss": nll,
+                "val/bpp": out["bpp_loss"], "val/saved_loss": saved_loss}
+
+    return feat_step, pix_step, eval_step

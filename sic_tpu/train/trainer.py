@@ -1,0 +1,175 @@
+"""Host-side training loop: stage schedule, rate control, checkpoints.
+
+The reference has **no training entry script** — it relies on a Lightning
+``main.py`` convention (SURVEY.md §1 note).  This module is the explicit
+harness: epoch loop with per-epoch strategy selection
+(reference: codec_sq_fixbpp.py:554-593), validation-bpp lambda controller
+(:608-639), stage-transition checkpoints (:577-582) and orbax persistence of
+the schedule state.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.codec import Codec, CodecSpec
+from ..models.discriminator import NLayerDiscriminator
+from ..models.lpips import LPIPS
+from .state import (TrainState, make_ae_optimizer, make_disc_optimizer)
+from .steps import FeatLossCfg, ImgLossCfg, make_steps
+from .strategy import TrainingStrategy
+
+
+def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
+                       rng, feat_cfg: FeatLossCfg = FeatLossCfg(),
+                       img_cfg: ImgLossCfg = ImgLossCfg(),
+                       image_hw=None, tune_titok: bool = False,
+                       codec_params=None, dtype=None):
+    """Initialize models, optimizers and the jitted step functions."""
+    r_codec, r_disc, r_lpips, r_state = jax.random.split(rng, 4)
+    hw = image_hw or (spec.tile_px, spec.tile_px)
+    codec = Codec(spec, dtype)
+    if codec_params is None:
+        from ..models.codec import init_codec
+        _, codec_params = init_codec(spec, r_codec, hw, dtype)
+
+    disc = NLayerDiscriminator(ndf=img_cfg.disc_ndf,
+                               n_layers=img_cfg.disc_num_layers)
+    dummy = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
+    disc_vars = disc.init(r_disc, dummy, train=False)
+
+    lpips = LPIPS()
+    lpips_params = lpips.init(r_lpips, dummy, dummy)
+
+    ae_tx = make_ae_optimizer(codec_params, strategy.learning_rate, tune_titok)
+    disc_tx = make_disc_optimizer(strategy.learning_rate)
+
+    start = strategy.start_epoch
+    _, stage0 = strategy.stage_at(start)
+    state = TrainState(
+        params=codec_params,
+        opt_state_ae=ae_tx.init(codec_params),
+        disc_params=disc_vars["params"],
+        disc_stats=disc_vars.get("batch_stats", {}),
+        opt_state_disc=disc_tx.init(disc_vars["params"]),
+        lpips_params=lpips_params,
+        global_step=jnp.asarray(0, jnp.int32),
+        epoch_for_strategy=jnp.asarray(start, jnp.int32),
+        lmbda_idx=jnp.asarray(stage0.init_lmbda_idx, jnp.int32),
+        lmbda_list=jnp.asarray(stage0.lmbda_list, jnp.float32),
+        rng=r_state,
+    )
+    steps = make_steps(codec, disc, lpips, feat_cfg, img_cfg, ae_tx, disc_tx)
+    return codec, state, steps
+
+
+# -- orbax checkpointing -------------------------------------------------------
+
+def save_checkpoint(ckpt_dir, state: TrainState, step: Optional[int] = None,
+                    name: Optional[str] = None):
+    import orbax.checkpoint as ocp
+    path = Path(ckpt_dir).resolve()
+    path.mkdir(parents=True, exist_ok=True)
+    tag = name if name is not None else f"step_{step or int(state.global_step)}"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / tag, state, force=True)
+    return str(path / tag)
+
+
+def load_checkpoint(ckpt_path, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(ckpt_path).resolve(), template)
+
+
+# -- the loop -------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Trainer:
+    """Drives the 3-stage schedule over data iterables.
+
+    ``train_data`` / ``val_data`` are callables returning fresh iterables of
+    (B, H, W, 3) float arrays in [-1, 1] per epoch.
+    """
+    codec: Codec
+    state: TrainState
+    steps: tuple                      # (feat_step, pix_step, eval_step)
+    strategy: TrainingStrategy
+    ckpt_dir: Optional[str] = None
+    log_fn: Callable[[Dict], None] = lambda logs: None
+    log_every: int = 50
+
+    def train_epoch(self, train_data: Iterable) -> str:
+        """One epoch at the current schedule position; returns stage name."""
+        epoch = int(self.state.epoch_for_strategy)
+        stage, spec = self.strategy.stage_at(epoch)
+        feat_step, pix_step, _ = self.steps
+        step_fn = pix_step if stage == "pix" else feat_step
+
+        for i, batch in enumerate(train_data):
+            self.state, logs = step_fn(self.state, jnp.asarray(batch))
+            if i % self.log_every == 0:
+                self.log_fn({k: float(v) for k, v in logs.items()}
+                            | {"epoch": epoch, "stage": stage})
+        return stage
+
+    def validate(self, val_data: Iterable) -> Dict[str, float]:
+        _, _, eval_step = self.steps
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in val_data:
+            metrics = eval_step(self.state, jnp.asarray(batch))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        means = {k: v / max(n, 1) for k, v in sums.items()}
+        epoch = int(self.state.epoch_for_strategy)
+        stage, _ = self.strategy.stage_at(epoch)
+        if stage != "pix":  # only final-stage ckpts can win the monitor
+            means["val/saved_loss"] = means.get("val/saved_loss", 0.0) + 100.0
+        return means
+
+    def end_of_epoch(self, val_metrics: Optional[Dict[str, float]] = None):
+        """Advance the schedule; adjust lambda; write stage checkpoints."""
+        epoch = int(self.state.epoch_for_strategy)
+        stage, spec = self.strategy.stage_at(epoch)
+
+        if val_metrics is not None and stage != "feat_wo_bpp":
+            new_idx = self.strategy.adjust_lmbda_idx(
+                epoch, int(self.state.lmbda_idx), val_metrics["val/bpp"])
+            self.state = self.state.replace(
+                lmbda_idx=jnp.asarray(new_idx, jnp.int32))
+
+        next_epoch = epoch + 1
+        next_stage, next_spec = self.strategy.stage_at(next_epoch)
+        if next_stage != stage:
+            if self.ckpt_dir:
+                save_checkpoint(self.ckpt_dir, self.state,
+                                name=f"{stage}_epo_for_strategy_{epoch}")
+            # stage change resets the lambda schedule (reference: :571-575)
+            self.state = self.state.replace(
+                lmbda_idx=jnp.asarray(next_spec.init_lmbda_idx, jnp.int32),
+                lmbda_list=jnp.asarray(next_spec.lmbda_list, jnp.float32))
+        self.state = self.state.replace(
+            epoch_for_strategy=jnp.asarray(next_epoch, jnp.int32))
+
+    def fit(self, train_data_fn, val_data_fn, epochs: Optional[int] = None):
+        total = epochs if epochs is not None else (
+            self.strategy.total_epochs - int(self.state.epoch_for_strategy))
+        for _ in range(total):
+            t0 = time.time()
+            stage = self.train_epoch(train_data_fn())
+            val = self.validate(val_data_fn()) if val_data_fn else None
+            self.end_of_epoch(val)
+            self.log_fn({"epoch_done": int(self.state.epoch_for_strategy) - 1,
+                         "stage": stage, "epoch_s": time.time() - t0,
+                         **({f"mean_{k}": v for k, v in val.items()} if val else {})})
+        if self.ckpt_dir:
+            save_checkpoint(self.ckpt_dir, self.state, name="last")

@@ -19,6 +19,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compile cache: repeat suite runs skip recompilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/sic_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

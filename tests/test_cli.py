@@ -1,0 +1,71 @@
+"""CLI end-to-end: compress -> decompress -> build -> search on a tiny
+config, exercising the full reference surface in-process."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+FIXTURE_CFG = str(Path(__file__).parent / "fixtures" / "config_tiny.yaml")
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    from PIL import Image
+    for i, hw in enumerate([(200, 300), (256, 256)]):
+        arr = (rng.uniform(size=(*hw, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i}.png")
+    return root
+
+
+def test_config_loading():
+    from sic_tpu.config import load_config
+    cfg = load_config(FIXTURE_CFG)
+    assert cfg.spec.titok.model_size == "tiny"
+    assert cfg.spec.quant_dim == 16
+    assert cfg.spec.merge_inner_width == 128
+    assert cfg.strategy is not None and cfg.strategy.total_epochs == 3
+    assert cfg.img_cfg.disc_ndf == 16
+
+
+def test_compress_decompress_build_search(workdir):
+    from sic_tpu.cli import build as build_cli
+    from sic_tpu.cli import compress as compress_cli
+    from sic_tpu.cli import decompress as decompress_cli
+    from sic_tpu.cli import search as search_cli
+
+    save_dir = workdir / "out"
+    compress_cli.main(["--base_config", FIXTURE_CFG,
+                       "--dataset_dir", str(workdir / "images"),
+                       "--save_dir", str(save_dir)])
+    c2dfs = sorted((save_dir / "bitstreams").glob("*.c2df"))
+    assert len(c2dfs) == 2
+    assert (save_dir / "faiss" / "index.faiss").exists()
+    assert (save_dir / "faiss" / "faiss.index").exists()
+
+    rec_dir = workdir / "rec"
+    decompress_cli.main(["--base_config", FIXTURE_CFG,
+                         "--dataset_dir", str(save_dir / "bitstreams"),
+                         "--save_dir", str(rec_dir)])
+    pngs = sorted(rec_dir.glob("*.png"))
+    assert len(pngs) == 2
+    from PIL import Image
+    # padding cropped: reconstruction matches ORIGINAL size
+    assert Image.open(rec_dir / "img_0.png").size == (300, 200)
+
+    # rebuild index from the bitstreams alone (no model)
+    idx_dir = workdir / "faiss2"
+    build_cli.main(["build", "--c2df_dir", str(save_dir / "bitstreams"),
+                    "--index_dir", str(idx_dir)])
+
+    # self-search by c2df payload must rank itself first
+    out = search_cli.do_search(
+        search_cli.encode_c2df_query(c2dfs[0]),
+        __import__("sic_tpu.retrieval", fromlist=["VectorIndex"])
+        .VectorIndex.load(idx_dir)[0], topk=2)
+    assert out[0][0].endswith("img_0.c2df")
+    assert out[0][1] == pytest.approx(1.0, abs=1e-4)

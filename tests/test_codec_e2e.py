@@ -24,6 +24,8 @@ TINY = CodecSpec(
     feat_width=64,
     quant_dim=16,
     merge_inner_width=128,
+    insert_pos_enc=(1,),   # exercise the cross-attn exchange in-layer
+    insert_pos_dec=(1,),
 )
 
 
