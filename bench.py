@@ -23,7 +23,7 @@ import numpy as np
 # Same-pipeline host-CPU baseline, measured once with
 #   JAX_PLATFORMS=cpu python bench.py --cpu-baseline
 # on this container's CPU (see BASELINE.md north-star: >=10x CPU).
-CPU_BASELINE_IMG_S = 0.0332
+CPU_BASELINE_IMG_S = 0.0111
 
 SIZE = 512
 ITERS = 8

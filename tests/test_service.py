@@ -1,0 +1,115 @@
+"""Service tests: full HTTP round-trips against a live threaded server with
+the tiny in-process model (no subprocess respawns, unlike the reference)."""
+import io
+import json
+import threading
+import urllib.request
+import uuid
+
+import numpy as np
+import pytest
+
+from tests.test_cli import FIXTURE_CFG
+
+
+def _multipart(field, filename, payload, extra=None):
+    boundary = uuid.uuid4().hex
+    body = io.BytesIO()
+    body.write(f"--{boundary}\r\n".encode())
+    body.write(f'Content-Disposition: form-data; name="{field}"; '
+               f'filename="{filename}"\r\n'.encode())
+    body.write(b"Content-Type: application/octet-stream\r\n\r\n")
+    body.write(payload)
+    body.write(f"\r\n--{boundary}--\r\n".encode())
+    return body.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from sic_tpu.service import ServiceState, make_server
+    root = tmp_path_factory.mktemp("svc")
+    state = ServiceState(base_config=FIXTURE_CFG, index_dir=root / "faiss",
+                         media_root=root, preview_cache=root / "previews",
+                         work_dir=root / "tmp")
+    srv = make_server(state, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", state, root
+    srv.shutdown()
+
+
+def _post(url, data, content_type):
+    req = urllib.request.Request(url, data=data, method="POST",
+                                 headers={"Content-Type": content_type})
+    return urllib.request.urlopen(req, timeout=600)
+
+
+def test_compress_decompress_endpoints(server):
+    base, state, root = server
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    arr = (rng.uniform(size=(200, 260, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+
+    body, ctype = _multipart("file", "t.png", buf.getvalue())
+    resp = _post(base + "/compress", body, ctype)
+    assert resp.status == 200
+    assert resp.headers["X-SIC-Stage"] == "compress"
+    assert int(resp.headers["X-SIC-Elapsed-MS"]) > 0
+    c2df = resp.read()
+    assert c2df[:4] == b"C2DF"
+
+    body, ctype = _multipart("file", "t.c2df", c2df)
+    resp = _post(base + "/decompress", body, ctype)
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/png"
+    img = Image.open(io.BytesIO(resp.read()))
+    assert img.size == (260, 200)  # padding cropped back
+
+    # keep the bitstream around for the search test + index
+    (root / "bits").mkdir(exist_ok=True)
+    (root / "bits" / "t.c2df").write_bytes(c2df)
+    from sic_tpu.cli.build import build_index_from_c2df_dir
+    build_index_from_c2df_dir(root / "bits", state.index_dir)
+
+
+def test_search_stream_ndjson(server):
+    base, state, root = server
+    c2df = (root / "bits" / "t.c2df").read_bytes()
+    body, ctype = _multipart("file", "t.c2df", c2df)
+    resp = _post(base + "/search/stream/c2df?topk=3", body, ctype)
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "application/x-ndjson"
+    lines = [json.loads(l) for l in resp.read().decode().splitlines() if l.strip()]
+    types = [l["type"] for l in lines]
+    assert types[0] == "meta" and lines[0]["stage"] == "start"
+    assert "item" in types and types[-1] == "done"
+    item = next(l for l in lines if l["type"] == "item")
+    assert item["score"] == pytest.approx(1.0, abs=1e-4)
+    assert item["path"].endswith("t.c2df")
+    assert item["preview_url"].startswith("/file?path=")
+
+    # preview URL serves the decoded PNG
+    resp = urllib.request.urlopen(base + item["preview_url"], timeout=600)
+    assert resp.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_file_endpoint_gating(server):
+    base, _, root = server
+    secret = root / "secret.txt"
+    secret.write_text("nope")
+    req = urllib.request.Request(f"{base}/file?path={secret}")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 403
+
+
+def test_search_text_endpoint(server):
+    base, _, _ = server
+    body = json.dumps({"text": "an apple", "topk": 2}).encode()
+    resp = _post(base + "/search/stream/text", body, "application/json")
+    lines = [json.loads(l) for l in resp.read().decode().splitlines() if l.strip()]
+    assert lines[0]["query_type"] == "text"
+    assert lines[-1]["type"] in ("done", "error")  # random CLIP weights OK
