@@ -1,4 +1,6 @@
 from .coder import EntropyCoder, RansEncoder, RansDecoder, pmf_to_quantized_cdf
+from .factorized import BitEstimator, Bitparm, FactorizedCoder
+from .huffman import HuffmanCodec, HuffmanCodecOneQP, build_huffman_table
 from .tables import GaussianCdfTables, build_gaussian_tables, scale_table
 
 __all__ = [
@@ -6,6 +8,12 @@ __all__ = [
     "RansEncoder",
     "RansDecoder",
     "pmf_to_quantized_cdf",
+    "BitEstimator",
+    "Bitparm",
+    "FactorizedCoder",
+    "HuffmanCodec",
+    "HuffmanCodecOneQP",
+    "build_huffman_table",
     "GaussianCdfTables",
     "build_gaussian_tables",
     "scale_table",

@@ -223,11 +223,14 @@ class BottleneckCoder:
             if step > 0:
                 scales, means = self._spatial_step(p, step, y_hat_so_far, common)
             sym_plane, idx_plane = self._write_plane(y_div, scales, means, step)
-            planes.append((np.asarray(sym_plane), np.asarray(idx_plane)))
+            planes.append((sym_plane, idx_plane))
             y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane, means, step)
 
+        # all four steps are device-resident, so the whole chain dispatches
+        # asynchronously; sync to host only once everything is enqueued
         for sym, idx in planes:
-            self.coder.encode_with_indexes(sym, idx, self.cdf_group)
+            self.coder.encode_with_indexes(np.asarray(sym), np.asarray(idx),
+                                           self.cdf_group)
         self.coder.flush()
         stream = self.coder.get_encoded_stream()
 

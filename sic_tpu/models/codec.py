@@ -201,23 +201,28 @@ class CodecRuntime:
             cdf, np.array([K + 1], np.int32), np.array([0], np.int32))
 
     # -- API parity with the reference deployment methods ---------------------
-    def encode_only(self, x) -> Dict[str, Any]:
+    def encode_only(self, x, timer=None) -> Dict[str, Any]:
         """x: (B, H, W, 3) in [-1, 1], H/W multiples of tile_px."""
+        from ..utils.profiling import timed_stage
+
         B, H, W, _ = x.shape
         x01 = jnp.asarray(x) * 0.5 + 0.5
-        z_indices, h, _ = self._encode(self.params, x01)
+        with timed_stage(timer, "encode_device"):
+            z_indices, h, _ = self._encode(self.params, x01)
         # tile grid is a static function of the padded image size
         stack_shape = (H // self.spec.tile_px, W // self.spec.tile_px)
 
-        idx_np = np.asarray(z_indices).reshape(-1)
-        self.z_coder.reset()
-        self.z_coder.encode_with_indexes(
-            idx_np.astype(np.int32), np.zeros(idx_np.size, np.int16),
-            self.z_cdf_group)
-        self.z_coder.flush()
-        z_bit_stream = self.z_coder.get_encoded_stream()
+        with timed_stage(timer, "h_rans"):
+            h_bit_stream, _ = self.h_coder.compress(h, q_idx=0)
 
-        h_bit_stream, _ = self.h_coder.compress(h, q_idx=0)
+        with timed_stage(timer, "z_rans"):
+            idx_np = np.asarray(z_indices).reshape(-1)
+            self.z_coder.reset()
+            self.z_coder.encode_with_indexes(
+                idx_np.astype(np.int32), np.zeros(idx_np.size, np.int16),
+                self.z_cdf_group)
+            self.z_coder.flush()
+            z_bit_stream = self.z_coder.get_encoded_stream()
 
         return {
             "z_bit_stream": z_bit_stream,
@@ -231,19 +236,24 @@ class CodecRuntime:
 
     def decode_only(self, z_bit_stream, h_bit_stream, img_shape, feat_shape,
                     stack_shape, token_length, z_indices_shape,
-                    **_ignored) -> jax.Array:
+                    timer=None, **_ignored) -> jax.Array:
         """Returns x_hat (B, H, W, 3) clamped to [-1, 1]."""
-        self.z_coder.set_stream(z_bit_stream)
-        sym = self.z_coder.decode_stream(
-            np.zeros(int(token_length), np.int16), self.z_cdf_group)
-        z_indices = jnp.asarray(sym.astype(np.int32).reshape(z_indices_shape))
+        from ..utils.profiling import timed_stage
+
+        with timed_stage(timer, "z_rans"):
+            self.z_coder.set_stream(z_bit_stream)
+            sym = self.z_coder.decode_stream(
+                np.zeros(int(token_length), np.int16), self.z_cdf_group)
+            z_indices = jnp.asarray(sym.astype(np.int32).reshape(z_indices_shape))
 
         # feat_shape carries the pre-transform detail feature (B, H/32, W/32,
         # feat_width); the coded latent has quant_dim channels at the same grid.
         B, Hf, Wf, _ = tuple(feat_shape)
         latent_shape = (B, Hf, Wf, self.spec.quant_dim)
-        h_hat = self.h_coder.decompress(h_bit_stream, latent_shape, q_idx=0)
-        return self._decode(self.params, z_indices, h_hat, tuple(stack_shape))
+        with timed_stage(timer, "h_rans"):
+            h_hat = self.h_coder.decompress(h_bit_stream, latent_shape, q_idx=0)
+        with timed_stage(timer, "decode_device"):
+            return self._decode(self.params, z_indices, h_hat, tuple(stack_shape))
 
     def encode_decode(self, x, original_shape: Tuple[int, int]):
         """Round-trip with bpp accounting (reference: codec_sq_fixbpp.py:904-922)."""

@@ -11,6 +11,8 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .layers import LayerNorm
+
 Dtype = Any
 
 
@@ -29,7 +31,7 @@ class ConvNeXtBlock(nn.Module):
         x = x * scale.astype(x.dtype)
         x = nn.Conv(in_ch, (self.kernel_size, self.kernel_size),
                     feature_group_count=in_ch, dtype=self.dtype, name="conv")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dense(int(in_ch * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(out_ch, dtype=self.dtype, name="mlp_fc2")(x)

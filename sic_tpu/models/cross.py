@@ -18,7 +18,7 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ResidualAttentionBlock
+from .layers import LayerNorm, ResidualAttentionBlock
 
 Dtype = Any
 
@@ -76,14 +76,14 @@ class InteractiveCrossAttn(nn.Module):
         f_titok_new = f[:, :-fp * fp, :]
 
         # detail update: LN + Linear residual
-        h = nn.LayerNorm(dtype=self.dtype, name="feat_add_ln")(f_feat_new)
+        h = LayerNorm(dtype=self.dtype, name="feat_add_ln")(f_feat_new)
         h = nn.Dense(self.feat_width, dtype=self.dtype, name="feat_add_fc")(h)
         feat_tokens = feat_tokens + h
 
         # titok update through the zero-init gate
         g = nn.Dense(self.feat_width * 2, dtype=self.dtype,
                      name="titok_decompress_fc")(f_titok_new)
-        g = nn.LayerNorm(dtype=self.dtype, name="titok_decompress_ln")(g)
+        g = LayerNorm(dtype=self.dtype, name="titok_decompress_ln")(g)
         g = nn.silu(g)
         g = nn.Dense(self.titok_width, kernel_init=zeros, bias_init=zeros,
                      dtype=self.dtype, name="zero_add")(g)

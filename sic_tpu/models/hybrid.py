@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .bottleneck import CompressiveBottleneck
 from .convnext import ConvNeXtBlock
 from .cross import InteractiveCrossAttn, tile_nhwc_to_tokens, tokens_to_tile_nhwc
-from .layers import ResidualAttentionBlock, scaled_normal_init
+from .layers import LayerNorm, ResidualAttentionBlock, scaled_normal_init
 from .quantizer import L2VectorQuantizer
 from .swin import SwinStack
 
@@ -122,10 +122,10 @@ class HybridEncoder(nn.Module):
         self.latent_token_positional_embedding = self.param(
             "latent_token_positional_embedding", init,
             (s.num_latent_tokens, s.width))
-        self.ln_pre = nn.LayerNorm(dtype=self.dtype)
+        self.ln_pre = LayerNorm(dtype=self.dtype)
         rab = _maybe_remat(ResidualAttentionBlock, self.remat)
         self.transformer = [rab(s.num_heads, 4.0, self.dtype) for _ in range(s.num_layers)]
-        self.ln_post = nn.LayerNorm(dtype=self.dtype)
+        self.ln_post = LayerNorm(dtype=self.dtype)
         self.conv_out = nn.Dense(s.token_size, dtype=self.dtype)
 
         # detail branch
@@ -143,7 +143,7 @@ class HybridEncoder(nn.Module):
         self.feat_out_swin = SwinStack(self.feat_width, 2, dtype=self.dtype)
         self.feat_out_down = nn.Conv(self.feat_width, (2, 2), strides=2,
                                      dtype=self.dtype)
-        self.feat_out_ln = nn.LayerNorm(dtype=self.dtype)
+        self.feat_out_ln = LayerNorm(dtype=self.dtype)
         self.feat_out_fc = nn.Dense(self.feat_width, dtype=self.dtype)
 
     def __call__(self, pixel_values, latent_tokens):
@@ -177,6 +177,12 @@ class HybridEncoder(nn.Module):
 
         z = x[:, 1 + s.grid_size ** 2:]
         z = self.ln_post(z)
+        # TiTok's "fake 2D" projection: the torch code row-major *reshapes*
+        # (B, N, width) to (B, width, N, 1) before the 1x1 conv_out — a
+        # channel scramble, not a transpose — and pretrained weights expect
+        # exactly that arrangement (reference: titok/blocks.py:140-143).
+        BT2, N, W = z.shape
+        z = z.reshape(BT2, N * W).reshape(BT2, W, N).transpose(0, 2, 1)
         z = self.conv_out(z)                              # (BT, n_latent, token_size)
 
         feat = self.feat_out_swin(feat)
@@ -207,10 +213,10 @@ class HybridDecoder(nn.Module):
         self.latent_token_positional_embedding = self.param(
             "latent_token_positional_embedding", init,
             (s.num_latent_tokens, s.width))
-        self.ln_pre = nn.LayerNorm(dtype=self.dtype)
+        self.ln_pre = LayerNorm(dtype=self.dtype)
         rab = _maybe_remat(ResidualAttentionBlock, self.remat)
         self.transformer = [rab(s.num_heads, 4.0, self.dtype) for _ in range(s.num_layers)]
-        self.ln_post = nn.LayerNorm(dtype=self.dtype)
+        self.ln_post = LayerNorm(dtype=self.dtype)
         # (the TiTok decoder's original pixel ffn is dropped, as in the
         # reference: codec_sq_fixbpp.py:195)
 
@@ -277,11 +283,11 @@ class FeatMerge(nn.Module):
         feat = SwinStack(self.feat_width, 2, dtype=self.dtype, name="feat_in")(feat)
         h = jnp.concatenate([titok, feat], axis=-1)
         h = nn.Dense(self.titok_width * 2, dtype=self.dtype, name="merge_fc1")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="merge_ln")(h)
+        h = LayerNorm(dtype=self.dtype, name="merge_ln")(h)
         h = nn.silu(h)
         h = nn.Dense(self.inner_width, dtype=self.dtype, name="merge_fc2")(h)
         h = SwinStack(self.inner_width, 4, dtype=self.dtype, name="merge_swin")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="ffn_ln")(h)
+        h = LayerNorm(dtype=self.dtype, name="ffn_ln")(h)
         h = nn.Dense(self.inner_width * 2, dtype=self.dtype, name="ffn_fc1")(h)
         h = jnp.tanh(h)
         return nn.Dense(self.n_embed, dtype=self.dtype, name="ffn_fc2")(h)

@@ -19,6 +19,11 @@ import jax.numpy as jnp
 
 Dtype = Any
 
+import functools
+
+# torch nn.LayerNorm parity (eps 1e-5; flax default is 1e-6)
+LayerNorm = functools.partial(nn.LayerNorm, epsilon=1e-5)
+
 
 class MultiheadSelfAttention(nn.Module):
     """Packed-qkv self attention (torch ``nn.MultiheadAttention`` layout)."""
@@ -73,11 +78,11 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, attn_mask=None):
         d_model = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        h = LayerNorm(dtype=self.dtype, name="ln_1")(x)
         x = x + MultiheadSelfAttention(self.num_heads, self.dtype,
                                        name="attn")(h, attn_mask)
         if self.mlp_ratio > 0:
-            h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+            h = LayerNorm(dtype=self.dtype, name="ln_2")(x)
             x = x + MLP(int(d_model * self.mlp_ratio), self.dtype, name="mlp")(h)
         return x
 

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .layers import LayerNorm
+
 Dtype = Any
 
 
@@ -121,11 +123,11 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_attn")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm_attn")(x)
         x = x + WindowAttention(self.heads, self.head_dim, self.window_size,
                                 self.shifted, self.relative_pos_embedding,
                                 self.dtype, name="attention_block")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_mlp")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm_mlp")(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_fc2")(h)

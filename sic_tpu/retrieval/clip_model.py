@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.layers import ResidualAttentionBlock, scaled_normal_init
+from ..models.layers import LayerNorm, ResidualAttentionBlock, scaled_normal_init
 
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
@@ -76,11 +76,11 @@ class CLIPVisionTower(nn.Module):
         pos = self.param("positional_embedding", scaled_normal_init(scale),
                          (grid * grid + 1, s.vision_width))
         x = x + pos.astype(x.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+        x = LayerNorm(dtype=self.dtype, name="ln_pre")(x)
         for i in range(s.vision_layers):
             x = ResidualAttentionBlock(s.vision_heads, 4.0, self.dtype,
                                        name=f"block_{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x[:, 0])
+        x = LayerNorm(dtype=self.dtype, name="ln_post")(x[:, 0])
         proj = self.param("proj", scaled_normal_init(scale),
                           (s.vision_width, s.embed_dim))
         return x @ proj.astype(x.dtype)
@@ -107,7 +107,7 @@ class CLIPTextTower(nn.Module):
         for i in range(s.text_layers):
             x = ResidualAttentionBlock(s.text_heads, 4.0, self.dtype,
                                        name=f"block_{i}")(x, causal)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        x = LayerNorm(dtype=self.dtype, name="ln_final")(x)
         # features at the EOT token (highest token id per row)
         eot = jnp.argmax(tokens, axis=-1)
         x = x[jnp.arange(x.shape[0]), eot]

@@ -1,0 +1,229 @@
+"""Numerical parity: reference torch modules vs our flax modules with
+ported weights.
+
+The reference tree is importable for its torch-only leaf modules; they act
+as ground-truth oracles here (no reference code enters this repo).  Each
+test builds the torch module, ports its state_dict through sic_tpu.port,
+and checks outputs match to float tolerance.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+# make reference leaf modules importable; stub torchvision (unused import
+# inside blocks/dcvc.py)
+sys.path.insert(0, "/root/reference/src")
+if "torchvision" not in sys.modules:
+    tv = types.ModuleType("torchvision")
+    tv.models = types.ModuleType("torchvision.models")
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv.models
+
+import jax
+import jax.numpy as jnp
+
+from sic_tpu import port
+from sic_tpu.models import (ConvNeXtBlock, InteractiveCrossAttn,
+                            PixelShuffle, ResidualAttentionBlock, SwinBlock)
+from sic_tpu.models.dcvc import DepthConvBlock4
+
+TOL = dict(rtol=2e-4, atol=2e-5)
+
+
+def _sd(mod):
+    return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+
+
+def test_residual_attention_block_parity():
+    from titok.blocks import ResidualAttentionBlock as TorchRAB
+    torch.manual_seed(0)
+    tm = TorchRAB(64, 4).eval()
+    x = torch.randn(2, 5, 64)  # (B, S, D)
+
+    with torch.no_grad():
+        ref = tm(x.permute(1, 0, 2)).permute(1, 0, 2).numpy()  # torch is LND
+
+    sd = {f"m.{k}": v for k, v in _sd(tm).items()}
+    ours = ResidualAttentionBlock(num_heads=4).apply(
+        {"params": port.t_rab(sd, "m")}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), ref, **TOL)
+
+
+def test_swin_block_parity():
+    from blocks.swin_transformer import SwinBlock as TorchSwin
+    for shifted, rel in ((False, True), (True, False)):
+        torch.manual_seed(1)
+        tm = TorchSwin(64, heads=1, head_dim=64, mlp_dim=128, shifted=shifted,
+                       window_size=4, relative_pos_embedding=rel).eval()
+        x = torch.randn(1, 8, 8, 64)
+        with torch.no_grad():
+            ref = tm(x).numpy()
+        sd = {f"m.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+        ours = SwinBlock(heads=1, head_dim=64, mlp_dim=128, window_size=4,
+                         shifted=shifted, relative_pos_embedding=rel).apply(
+            {"params": port.t_swin_block(sd, "m")}, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(ours), ref, **TOL)
+
+
+def test_convnext_block_parity():
+    from blocks.conv_blocks import ConvNeXtBlock as TorchConvNeXt
+    torch.manual_seed(2)
+    tm = TorchConvNeXt(32, 32, mlp_ratio=2.0, kernel_size=5).eval()
+    x = torch.randn(1, 32, 8, 8)
+    with torch.no_grad():
+        ref = tm(x).permute(0, 2, 3, 1).numpy()
+    sd = {f"m.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    ours = ConvNeXtBlock(32, mlp_ratio=2.0, kernel_size=5).apply(
+        {"params": port.t_convnext(sd, "m")},
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(ours), ref, **TOL)
+
+
+def test_depthconvblock4_parity():
+    from blocks.dcvc import DepthConvBlock4 as TorchDCB
+    torch.manual_seed(3)
+    tm = TorchDCB(16, 24).eval()
+    x = torch.randn(1, 16, 6, 6)
+    with torch.no_grad():
+        ref = tm(x).permute(0, 2, 3, 1).numpy()
+    sd = {f"m.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    ours = DepthConvBlock4(24).apply(
+        {"params": port.t_depthconvblock4(sd, "m")},
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(ours), ref, **TOL)
+
+
+def test_cross_attn_parity():
+    from models.cross_blocks import Interactive_crossAttn_type4 as TorchCross
+    torch.manual_seed(4)
+    titok_w, feat_w, fp, extra = 96, 64, 4, 3
+    tm = TorchCross(titok_w, feat_w, num_attns=2, feat_patch_size=fp,
+                    titok_patch_size=fp, extra_titok_tokens=extra).eval()
+    # seed the zero-init gate so the exchange is actually exercised
+    with torch.no_grad():
+        tm.zero_add.weight.normal_(0, 0.02)
+        tm.zero_add.bias.normal_(0, 0.02)
+        for p in (tm.titok_pos_emb, tm.feat_pos_emb):
+            p.normal_(0, 0.02)
+
+    nH, nW, B = 2, 1, 1
+    feat = torch.randn(B, feat_w, nH * fp, nW * fp)
+    titok = torch.randn(fp * fp + extra, B * nH * nW, titok_w)
+    with torch.no_grad():
+        ref_feat, ref_titok = tm(feat, titok, (nH, nW))
+
+    sd = {f"m.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    ours = InteractiveCrossAttn(titok_w, feat_w, num_attns=2,
+                                feat_patch_size=fp, titok_patch_size=fp,
+                                extra_titok_tokens=extra)
+    out_feat, out_titok = ours.apply(
+        {"params": port.t_cross(sd, "m", 2)},
+        jnp.asarray(feat.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(titok.permute(1, 0, 2).numpy()), (nH, nW))
+    np.testing.assert_allclose(np.asarray(out_feat),
+                               ref_feat.permute(0, 2, 3, 1).numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(out_titok),
+                               ref_titok.permute(1, 0, 2).numpy(), **TOL)
+
+
+def test_vqgan_encoder_decoder_parity():
+    from taming.modules.diffusionmodules.model import (Decoder as TorchDec,
+                                                       Encoder as TorchEnc)
+    from sic_tpu.models import Decoder, Encoder, VQGANSpec
+    torch.manual_seed(5)
+    kw = dict(ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=[8],
+              in_channels=3, out_ch=3, resolution=16, z_channels=32,
+              dropout=0.0, double_z=False)
+    spec = VQGANSpec(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(8,), in_channels=3, out_ch=3,
+                     resolution=16, z_channels=32)
+
+    tenc, tdec = TorchEnc(**kw).eval(), TorchDec(**kw).eval()
+    x = torch.randn(1, 3, 16, 16)
+    z = torch.randn(1, 32, 8, 8)
+    with torch.no_grad():
+        ref_z = tenc(x).permute(0, 2, 3, 1).numpy()
+        ref_x = tdec(z).permute(0, 2, 3, 1).numpy()
+
+    sd = {}
+    sd.update({f"m.encoder.{k}": v.detach().numpy()
+               for k, v in tenc.state_dict().items()})
+    sd.update({f"m.decoder.{k}": v.detach().numpy()
+               for k, v in tdec.state_dict().items()})
+    tree = port.port_vqgan(
+        {**sd, "m.quantize.embedding.weight": np.zeros((4, 32), np.float32),
+         "m.quant_conv.weight": np.zeros((32, 32, 1, 1), np.float32),
+         "m.quant_conv.bias": np.zeros(32, np.float32),
+         "m.post_quant_conv.weight": np.zeros((32, 32, 1, 1), np.float32),
+         "m.post_quant_conv.bias": np.zeros(32, np.float32)},
+        "m", (1, 2), 1, (8,), 16)
+
+    out_z = Encoder(spec).apply({"params": tree["encoder"]},
+                                jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    out_x = Decoder(spec).apply({"params": tree["decoder"]},
+                                jnp.asarray(z.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(out_z), ref_z, **TOL)
+    np.testing.assert_allclose(np.asarray(out_x), ref_x, **TOL)
+
+
+def test_pixel_shuffle_parity():
+    torch.manual_seed(6)
+    x = torch.randn(1, 16, 3, 3)
+    ref = torch.nn.PixelShuffle(2)(x).permute(0, 2, 3, 1).numpy()
+    ours = PixelShuffle(2)(jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(ours), ref, **TOL)
+
+
+def test_titok_encoder_parity():
+    """Full frozen-TiTok path: reference TiTokEncoder vs our HybridEncoder
+    restricted to the backbone (no insert positions)."""
+    from titok.blocks import TiTokEncoder as TorchTiTok
+
+    class _NS:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    cfg = _NS(model=_NS(vq_model=_NS(vit_enc_model_size="small",
+                                     vit_enc_patch_size=16,
+                                     num_latent_tokens=4, token_size=8)),
+              dataset=_NS(preprocessing=_NS(crop_size=256)))
+    torch.manual_seed(7)
+    tm = TorchTiTok(cfg).eval()
+    x = torch.randn(1, 3, 256, 256)
+    lat = torch.randn(4, 512)
+    with torch.no_grad():
+        ref = tm(x, lat).numpy()  # (B, token_size, 1, n_latent)
+
+    from sic_tpu.models import HybridEncoder, TiTokSpec
+    spec = TiTokSpec(model_size="small", num_latent_tokens=4, token_size=8)
+    sd = {f"m.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    # backbone-only port: fake the detail-branch keys our porter requires
+    ours_mod = HybridEncoder(spec, insert_pos=(), feat_width=64)
+    rng_params = ours_mod.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 256, 3)),
+                               jnp.zeros((4, 512)))
+    tree = dict(rng_params["params"])
+    tree.update({
+        "patch_embed": port.t_conv(sd, "m.patch_embed"),
+        "class_embedding": sd["m.class_embedding"],
+        "positional_embedding": sd["m.positional_embedding"],
+        "latent_token_positional_embedding":
+            sd["m.latent_token_positional_embedding"],
+        "ln_pre": port.t_norm(sd, "m.ln_pre"),
+        "ln_post": port.t_norm(sd, "m.ln_post"),
+        "conv_out": port.t_conv1x1_as_dense(sd, "m.conv_out"),
+    })
+    for i in range(spec.num_layers):
+        tree[f"transformer_{i}"] = port.t_rab(sd, f"m.transformer.{i}")
+
+    z, _feat, _ = ours_mod.apply({"params": tree},
+                                 jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+                                 jnp.asarray(lat.numpy()))
+    # torch returns (B, token_size, 1, n_latent); ours (B, n_latent, token_size)
+    ref_tokens = ref[:, :, 0, :].transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(z), ref_tokens,
+                               rtol=1e-3, atol=1e-4)
