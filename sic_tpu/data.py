@@ -102,3 +102,28 @@ class ImageDataset:
             if drop_last and len(idx) < batch_size:
                 return
             yield np.stack([self[int(i)] for i in idx])
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Thread-pool prefetch so host image decode overlaps device compute —
+    the counterpart of the reference DataLoader's worker processes
+    (reference: config train yaml ``num_workers``)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

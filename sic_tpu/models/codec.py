@@ -163,9 +163,18 @@ class CodecRuntime:
     (reference: codec_sq_fixbpp.py:849-922)
     """
 
-    def __init__(self, spec: CodecSpec, params, dtype=None, stream_part: int = 1):
+    def __init__(self, spec: CodecSpec, params, dtype=None, stream_part: int = 1,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — inputs get batch/tile
+        sharding and params are replicated, so one process drives all chips
+        (the reference's NCCL-DDP inference counterpart,
+        reference: compress.py:33-55)."""
         self.spec = spec
         self.model = Codec(spec, dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_state
+            params = shard_state(params, mesh)
         self.params = params
 
         apply = self.model.apply
@@ -207,6 +216,9 @@ class CodecRuntime:
 
         B, H, W, _ = x.shape
         x01 = jnp.asarray(x) * 0.5 + 0.5
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+            x01 = shard_batch(x01, self.mesh)
         with timed_stage(timer, "encode_device"):
             z_indices, h, _ = self._encode(self.params, x01)
         # tile grid is a static function of the padded image size
