@@ -80,12 +80,9 @@ class WindowAttention(nn.Module):
                        name="to_qkv")(x)
         qkv = qkv.reshape(B, nwh, ws, nww, ws, 3, hds, self.head_dim)
         qkv = qkv.transpose(5, 0, 6, 1, 3, 2, 4, 7)  # (3, B, h, nwh, nww, ws, ws, d)
-        qkv = qkv.reshape(3, B, hds, nwh * nww, s, self.head_dim)
+        nW = nwh * nww
+        qkv = qkv.reshape(3, B * hds * nW, s, self.head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
-
-        scale = self.head_dim ** -0.5
-        dots = jnp.einsum("bhwid,bhwjd->bhwij", q * scale, k,
-                          preferred_element_type=jnp.float32)
 
         if self.relative_pos_embedding:
             pos = self.param("pos_embedding", nn.initializers.normal(1.0),
@@ -94,13 +91,17 @@ class WindowAttention(nn.Module):
             bias = pos[idx[:, :, 0], idx[:, :, 1]]
         else:
             bias = self.param("pos_embedding", nn.initializers.normal(1.0), (s, s))
-        dots = dots + bias.astype(dots.dtype)
+        bias = bias.astype(jnp.float32)
 
         if self.shifted:
-            dots = dots + jnp.asarray(_full_shift_mask(nwh, nww, ws))[None, None]
+            # fold the shift mask into the per-window bias tensor
+            bias = bias[None] + jnp.asarray(_full_shift_mask(nwh, nww, ws))
+        else:
+            bias = bias[None]                              # (1, s, s)
 
-        probs = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhwij,bhwjd->bhwid", probs, v)
+        # fused Pallas kernel on TPU; plain-XLA fallback elsewhere
+        from ..ops import window_attention
+        out = window_attention(q, k, v, bias, self.head_dim ** -0.5)
         out = out.reshape(B, hds, nwh, nww, ws, ws, self.head_dim)
         out = out.transpose(0, 2, 4, 3, 5, 1, 6).reshape(B, H, W, inner)
         out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)

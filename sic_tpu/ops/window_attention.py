@@ -1,0 +1,111 @@
+"""Fused window attention (Pallas TPU kernel).
+
+The Swin detail branch runs ~20+ window-attention layers per image at full
+feature resolution (SURVEY.md §3 hot loops); this kernel keeps one window's
+q/k/v, logits and probabilities resident in VMEM — one HBM round trip per
+window instead of one per intermediate.
+
+Shapes: windows are folded into the grid axis; each program handles one
+(batch, head, window) triple with a (s, d) tile, s = window_size**2 (256 for
+the shipped window 16), d = head_dim (64).  The additive bias tensor folds
+the position bias and any shift mask, selected per window by the index map.
+
+Backward passes recompute with plain einsums under XLA (custom_vjp) — the
+kernel accelerates the forward/inference path without hand-written grads.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)              # (s, d)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    bias = bias_ref[0]                            # (s, s) f32
+    dots = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32) + bias
+    probs = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
+    o_ref[0] = jnp.dot(probs, v, preferred_element_type=jnp.float32
+                       ).astype(o_ref.dtype)
+
+
+def _forward_reference(q, k, v, bias, scale):
+    """Plain-XLA equivalent (used for backward + as CPU fallback)."""
+    G, s, d = q.shape
+    nW = bias.shape[0]
+    b32 = bias.reshape(1, nW, s, s)
+    dots = jnp.einsum("gid,gjd->gij", q.astype(jnp.float32) * scale,
+                      k.astype(jnp.float32))
+    dots = (dots.reshape(G // nW, nW, s, s) + b32).reshape(G, s, s)
+    probs = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
+    return jnp.einsum("gij,gjd->gid", probs, v)
+
+
+def _pallas_forward(q, k, v, bias, scale: float, interpret: bool = False):
+    G, s, d = q.shape
+    nW = bias.shape[0]
+    kern = functools.partial(_attention_kernel, scale=scale)
+    tile = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, s, d), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda i: (i % nW, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, d), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * G * s * s * d,
+            bytes_accessed=G * (3 * s * d + s * d) * q.dtype.itemsize
+            + nW * s * s * 4,
+            transcendentals=G * s * s),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def window_attention(q, k, v, bias, scale: float):
+    """q, k, v: (G, s, d) with G a multiple of bias.shape[0];
+    bias: (nW, s, s) additive logits bias (position bias + shift mask),
+    indexed by ``g % nW``.  Returns (G, s, d)."""
+    if jax.devices()[0].platform != "tpu":
+        return _forward_reference(q, k, v, bias, scale)
+    return _pallas_forward(q, k, v, bias, scale)
+
+
+def _fwd(q, k, v, bias, scale):
+    return window_attention(q, k, v, bias, scale), (q, k, v, bias)
+
+
+def _bwd(scale, res, g):
+    q, k, v, bias = res
+    # recompute probabilities with plain einsums; standard attention VJP
+    G, s, d = q.shape
+    nW = bias.shape[0]
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    dots = jnp.einsum("gid,gjd->gij", q32 * scale, k32)
+    dots = (dots.reshape(G // nW, nW, s, s)
+            + bias.reshape(1, nW, s, s)).reshape(G, s, s)
+    probs = jax.nn.softmax(dots, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("gij,gid->gjd", probs, g32)
+    dprobs = jnp.einsum("gid,gjd->gij", g32, v32)
+    ddots = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+    dq = jnp.einsum("gij,gjd->gid", ddots, k32) * scale
+    dk = jnp.einsum("gij,gid->gjd", ddots, q32 * scale)
+    dbias = jnp.sum(ddots.reshape(G // nW, nW, s, s), axis=0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype))
+
+
+window_attention.defvjp(_fwd, _bwd)
