@@ -148,43 +148,46 @@ class BottleneckCoder:
         def _decode_transform(params, y_hat, q_idx):
             return apply(params, y_hat, q_idx, method=CompressiveBottleneck.decode_transform)
 
+        thres = force_zero_thres
+
+        def _idx_of(scales, step):
+            """Step's CDF-index plane from full scales."""
+            H, W, C = scales.shape[1:]
+            mask = four_part_masks(H, W, C, scales.dtype)[step]
+            scale_plane = combine_for_writing(scales * mask)
+            return build_indexes(scale_plane, skip_thres=thres)
+
+        # The encode and decode paths share these compiled functions and
+        # exchange their *materialized* outputs (scales/means/idx), so both
+        # sides see bit-identical values — the fused-jit analogue of the
+        # reference's eager-op sharing (sq_bottleneck.py:202-216 invariant).
         @functools.partial(jax.jit, static_argnames=("shape_bhw", "q_idx"))
         def _prior(params, shape_bhw, q_idx):
+            """Fused prior eval + step-0 index plane (one dispatch)."""
             common = apply(params, shape_bhw, q_idx,
                            method=CompressiveBottleneck.prior_params)
             quant_step, scales, means = separate_prior(common, "quantstep3")
             common_reduced = apply(params, common,
                                    method=CompressiveBottleneck.reduce_common)
-            return jnp.maximum(quant_step, 0.5), scales, means, common_reduced
+            return (jnp.maximum(quant_step, 0.5), scales, means,
+                    common_reduced, _idx_of(scales, 0))
 
         @functools.partial(jax.jit, static_argnames=("step",))
         def _spatial_step(params, step, y_hat_so_far, common_reduced):
-            return apply(params, step, y_hat_so_far, common_reduced,
-                         method=CompressiveBottleneck.spatial_step)
-
-        thres = force_zero_thres
+            """Fused prior CNN + this step's index plane (one dispatch)."""
+            scales, means = apply(params, step, y_hat_so_far, common_reduced,
+                                  method=CompressiveBottleneck.spatial_step)
+            return scales, means, _idx_of(scales, step)
 
         @functools.partial(jax.jit, static_argnames=("step",))
         def _write_plane(y_div, scales, means, step):
-            """Quantize step's positions -> (symbol plane, index plane)."""
+            """Quantize step's positions -> symbol plane (int32)."""
             H, W, C = y_div.shape[1:]
             mask = four_part_masks(H, W, C, y_div.dtype)[step]
             _, y_q, _, _ = process_with_mask(y_div, scales, means, mask,
                                              training=False,
                                              force_zero_thres=thres)
-            sym_plane = combine_for_writing(y_q)
-            scale_plane = combine_for_writing(scales * mask)
-            idx_plane = build_indexes(scale_plane, skip_thres=thres)
-            return sym_plane.astype(jnp.int32), idx_plane
-
-        @functools.partial(jax.jit, static_argnames=("step",))
-        def _read_plane(scales, step):
-            """Scale plane + indexes for the decoder side of a step."""
-            H, W, C = scales.shape[1:]
-            mask = four_part_masks(H, W, C, scales.dtype)[step]
-            scale_plane = combine_for_writing(scales * mask)
-            idx_plane = build_indexes(scale_plane, skip_thres=thres)
-            return idx_plane
+            return combine_for_writing(y_q).astype(jnp.int32)
 
         @functools.partial(jax.jit, static_argnames=("step",))
         def _recon_step(sym_plane, means, step):
@@ -194,13 +197,20 @@ class BottleneckCoder:
             full = jnp.concatenate([sym_plane.astype(means.dtype)] * 4, axis=-1)
             return (full + means) * mask
 
+        @jax.jit
+        def _pack_planes(planes):
+            """[(sym, idx) x 4] -> one (4, 2, B, H, W, C/4) int32 array so
+            the encode path crosses the host boundary exactly once."""
+            return jnp.stack([jnp.stack([s, i.astype(jnp.int32)])
+                              for s, i in planes])
+
         self._encode_transform = _encode_transform
         self._decode_transform = _decode_transform
         self._prior = _prior
         self._spatial_step = _spatial_step
         self._write_plane = _write_plane
-        self._read_plane = _read_plane
         self._recon_step = _recon_step
+        self._pack_planes = _pack_planes
 
     # -- public API ---------------------------------------------------------
     def forward(self, y, img_hw, q_idx: int = 0) -> Tuple[jax.Array, Dict[str, Any]]:
@@ -210,26 +220,33 @@ class BottleneckCoder:
             y, img_hw=tuple(img_hw), q_idx=q_idx)
 
     def compress(self, y, q_idx: int = 0):
-        """y: (B, H, W, feat_dim) -> (bit_stream bytes, y_hat)."""
+        """y: (B, H, W, feat_dim) -> (bit_stream bytes, y_hat).
+
+        The whole four-step chain is device-resident — dispatches enqueue
+        asynchronously and the host boundary is crossed exactly once with
+        one packed planes array."""
         p = self.params
         y_t = self._encode_transform(p, y, q_idx)
-        quant_step, scales, means, common = self._prior(p, tuple(y_t.shape[:3]), q_idx)
+        quant_step, scales, means, common, idx0 = self._prior(
+            p, tuple(y_t.shape[:3]), q_idx)
         y_div = y_t / quant_step
 
-        self.coder.reset()
         y_hat_so_far = jnp.zeros_like(y_div)
         planes = []
         for step in range(4):
             if step > 0:
-                scales, means = self._spatial_step(p, step, y_hat_so_far, common)
-            sym_plane, idx_plane = self._write_plane(y_div, scales, means, step)
-            planes.append((sym_plane, idx_plane))
+                scales, means, idx = self._spatial_step(p, step, y_hat_so_far,
+                                                        common)
+            else:
+                idx = idx0
+            sym_plane = self._write_plane(y_div, scales, means, step)
+            planes.append((sym_plane, idx))
             y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane, means, step)
 
-        # all four steps are device-resident, so the whole chain dispatches
-        # asynchronously; sync to host only once everything is enqueued
-        for sym, idx in planes:
-            self.coder.encode_with_indexes(np.asarray(sym), np.asarray(idx),
+        packed = np.asarray(self._pack_planes(planes))   # single transfer
+        self.coder.reset()
+        for step in range(4):
+            self.coder.encode_with_indexes(packed[step, 0], packed[step, 1],
                                            self.cdf_group)
         self.coder.flush()
         stream = self.coder.get_encoded_stream()
@@ -242,14 +259,14 @@ class BottleneckCoder:
         p = self.params
         B, H, W, C = feat_shape
         self.coder.set_stream(bit_stream)
-        quant_step, scales, means, common = self._prior(p, (B, H, W), q_idx)
+        quant_step, scales, means, common, idx = self._prior(p, (B, H, W), q_idx)
 
         y_hat_so_far = jnp.zeros((B, H, W, C), dtype=quant_step.dtype)
         for step in range(4):
             if step > 0:
-                scales, means = self._spatial_step(p, step, y_hat_so_far, common)
-            idx_plane = self._read_plane(scales, step)
-            idx_np = np.asarray(idx_plane)
+                scales, means, idx = self._spatial_step(p, step, y_hat_so_far,
+                                                        common)
+            idx_np = np.asarray(idx)                     # sync: need symbols
             sym_np = self.coder.decode_stream(idx_np, self.cdf_group)
             sym_plane = jnp.asarray(sym_np.reshape(idx_np.shape), dtype=jnp.int32)
             y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane, means, step)
