@@ -41,9 +41,11 @@ def main():
     scores, ids = index.search(q, k=args.k)           # warm / compile
     assert np.all(ids[:, 0] == ids[:, 0])             # touch result
 
+    # throughput with requests in flight (each iter is an independent
+    # query batch; results synced at the end)
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        scores, ids = index.search(q, k=args.k)
+    outs = [index.search_device(q, k=args.k) for _ in range(args.iters)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     qps = args.iters * args.batch / dt
 

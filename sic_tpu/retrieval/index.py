@@ -69,7 +69,10 @@ def read_flat_index(path) -> Tuple[np.ndarray, str]:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_ip(db, q, k: int):
-    scores = q @ db.T                                      # (B, N) on MXU
+    # bf16 operands on the MXU with f32 accumulation: ~4x the f32 matmul
+    # rate; unit-vector scores keep ranking-grade precision
+    scores = jnp.dot(q.astype(jnp.bfloat16), db.T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)   # (B, N)
     return jax.lax.top_k(scores, k)
 
 
@@ -112,6 +115,16 @@ class VectorIndex:
         return self._vecs[0]
 
     # -- search ---------------------------------------------------------------
+    def search_device(self, query, k: int = 5):
+        """Async variant: returns device arrays (scores, indices) without a
+        host sync, so callers can pipeline request batches."""
+        if self._device_db is None:
+            self._device_db = jnp.asarray(self.vectors())
+        q = jnp.asarray(query, jnp.float32)
+        if q.ndim == 1:
+            q = q[None]
+        return _topk_ip(self._device_db, q, min(k, self.ntotal))
+
     def search(self, query: np.ndarray, k: int = 5
                ) -> Tuple[np.ndarray, np.ndarray]:
         """query (B, D) or (D,) -> (scores (B, k), indices (B, k));
@@ -123,10 +136,8 @@ class VectorIndex:
         if n == 0:
             return (np.zeros((q.shape[0], k), np.float32),
                     -np.ones((q.shape[0], k), np.int64))
-        if self._device_db is None:
-            self._device_db = jnp.asarray(self.vectors())
         kk = min(k, n)
-        scores, idx = _topk_ip(self._device_db, jnp.asarray(q), kk)
+        scores, idx = self.search_device(q, kk)
         scores = np.asarray(scores, np.float32)
         idx = np.asarray(idx, np.int64)
         if kk < k:

@@ -68,4 +68,4 @@ def test_compress_decompress_build_search(workdir):
         __import__("sic_tpu.retrieval", fromlist=["VectorIndex"])
         .VectorIndex.load(idx_dir)[0], topk=2)
     assert out[0][0].endswith("img_0.c2df")
-    assert out[0][1] == pytest.approx(1.0, abs=1e-4)
+    assert out[0][1] == pytest.approx(1.0, abs=5e-3)  # bf16 MXU scoring

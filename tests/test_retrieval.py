@@ -48,7 +48,7 @@ def test_vector_index_search_and_persist(tmp_path):
 
     scores, ids = idx.search(db[7], k=5)
     assert ids[0, 0] == 7
-    assert scores[0, 0] == pytest.approx(1.0, abs=1e-5)
+    assert scores[0, 0] == pytest.approx(1.0, abs=5e-3)  # bf16 MXU scoring
     assert np.all(np.diff(scores[0]) <= 1e-6)  # descending
 
     idx.persist(tmp_path)

@@ -87,7 +87,7 @@ def test_search_stream_ndjson(server):
     assert types[0] == "meta" and lines[0]["stage"] == "start"
     assert "item" in types and types[-1] == "done"
     item = next(l for l in lines if l["type"] == "item")
-    assert item["score"] == pytest.approx(1.0, abs=1e-4)
+    assert item["score"] == pytest.approx(1.0, abs=5e-3)  # bf16 MXU scoring
     assert item["path"].endswith("t.c2df")
     assert item["preview_url"].startswith("/file?path=")
 
