@@ -96,8 +96,10 @@ class _FeatBlock(nn.Module):
         return x
 
 
-def _maybe_remat(cls, remat: bool):
-    return nn.remat(cls) if remat else cls
+def _maybe_remat(cls, remat: bool, static_argnums=()):
+    """nn.remat for the save_mem path (torch checkpointing counterpart;
+    argnum 0 is the module instance)."""
+    return nn.remat(cls, static_argnums=static_argnums) if remat else cls
 
 
 class HybridEncoder(nn.Module):
@@ -131,7 +133,7 @@ class HybridEncoder(nn.Module):
         # detail branch
         self.pix_emb_proj = nn.Dense(self.feat_width, dtype=self.dtype)
         self.feat_in = SwinStack(self.feat_width, 4, dtype=self.dtype)
-        cross = _maybe_remat(InteractiveCrossAttn, self.remat)
+        cross = _maybe_remat(InteractiveCrossAttn, self.remat, static_argnums=(3,))
         fb = _maybe_remat(_FeatBlock, self.remat)
         self.inter_blocks = {
             str(i): cross(s.width, self.feat_width, self.num_attns,
@@ -223,7 +225,7 @@ class HybridDecoder(nn.Module):
         self.feat_up_conv = nn.Conv(self.feat_width * 4, (1, 1), dtype=self.dtype)
         self.feat_up_shuffle = PixelShuffle(2)
         self.feat_up_swin = SwinStack(self.feat_width, 4, dtype=self.dtype)
-        cross = _maybe_remat(InteractiveCrossAttn, self.remat)
+        cross = _maybe_remat(InteractiveCrossAttn, self.remat, static_argnums=(3,))
         fb = _maybe_remat(_FeatBlock, self.remat)
         self.inter_blocks = {
             str(i): cross(s.width, self.feat_width, self.num_attns,

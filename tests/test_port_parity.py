@@ -227,3 +227,51 @@ def test_titok_encoder_parity():
     ref_tokens = ref[:, :, 0, :].transpose(0, 2, 1)
     np.testing.assert_allclose(np.asarray(z), ref_tokens,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_titok_decoder_parity():
+    """Reference TiTokDecoder (ffn stripped, as the hybrid does —
+    codec_sq_fixbpp.py:195) vs our HybridDecoder backbone."""
+    from titok.blocks import TiTokDecoder as TorchTiTokDec
+
+    class _NS:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    cfg = _NS(model=_NS(vq_model=_NS(vit_dec_model_size="small",
+                                     vit_dec_patch_size=16,
+                                     num_latent_tokens=4, token_size=8)),
+              dataset=_NS(preprocessing=_NS(crop_size=256)))
+    torch.manual_seed(8)
+    tm = TorchTiTokDec(cfg).eval()
+    tm.ffn = torch.nn.Identity()
+    z = torch.randn(1, 8, 1, 4)  # (B, token_size, 1, n_latent)
+    with torch.no_grad():
+        ref = tm(z).permute(0, 2, 3, 1).numpy()  # (B, 16, 16, width)
+
+    from sic_tpu.models import HybridDecoder, TiTokSpec
+    spec = TiTokSpec(model_size="small", num_latent_tokens=4, token_size=8)
+    sd = {f"m.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    ours_mod = HybridDecoder(spec, insert_pos=(), feat_width=64)
+    rng_params = ours_mod.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 8)),
+        jnp.zeros((1, 8, 8, 64)), (1, 1))
+    tree = dict(rng_params["params"])
+    tree.update({
+        "decoder_embed": port.t_lin(sd, "m.decoder_embed"),
+        "class_embedding": sd["m.class_embedding"],
+        "positional_embedding": sd["m.positional_embedding"],
+        "mask_token": sd["m.mask_token"],
+        "latent_token_positional_embedding":
+            sd["m.latent_token_positional_embedding"],
+        "ln_pre": port.t_norm(sd, "m.ln_pre"),
+        "ln_post": port.t_norm(sd, "m.ln_post"),
+    })
+    for i in range(spec.num_layers):
+        tree[f"transformer_{i}"] = port.t_rab(sd, f"m.transformer.{i}")
+
+    z_ours = jnp.asarray(z.numpy()[:, :, 0, :].transpose(0, 2, 1))  # (B, n, ts)
+    titok_hat, _feat = ours_mod.apply(
+        {"params": tree}, z_ours, jnp.zeros((1, 8, 8, 64)), (1, 1))
+    np.testing.assert_allclose(np.asarray(titok_hat), ref,
+                               rtol=1e-3, atol=1e-4)

@@ -86,3 +86,15 @@ def test_stage_schedule():
     assert STRAT.stage_at(2)[0] == "pix"
     assert STRAT.stage_at(99)[0] == "pix"
     assert STRAT.total_epochs == 3
+
+
+def test_remat_training_step():
+    """save_mem path: remat'd modules train (stack_shape kept static)."""
+    import dataclasses
+    spec = dataclasses.replace(TINY, remat=True)
+    codec, state, (feat_step, _, _) = create_train_state(
+        spec, STRAT, jax.random.PRNGKey(7),
+        img_cfg=ImgLossCfg(disc_start=0, disc_ndf=16, disc_num_layers=2))
+    x = jax.random.uniform(jax.random.PRNGKey(8), (1, 256, 256, 3), minval=-1.0)
+    state2, logs = feat_step(state, x)
+    assert np.isfinite(logs["train/align_loss"])
