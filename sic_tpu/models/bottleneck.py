@@ -273,6 +273,41 @@ class BottleneckCoder:
 
         return self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
 
+    def entropy_map(self, y, q_idx: int = 0):
+        """Per-element hard-quant bit map (ablation-study helper;
+        reference: sq_bottleneck.py:219-232)."""
+        H, W = y.shape[1], y.shape[2]
+
+        @functools.partial(jax.jit, static_argnames=("img_hw", "q_idx"))
+        def _map(y, img_hw, q_idx):
+            y_t = self.module.apply(
+                self.params, y, q_idx,
+                method=CompressiveBottleneck.encode_transform)
+            common = self.module.apply(
+                self.params, y_t.shape[:3], q_idx,
+                method=CompressiveBottleneck.prior_params)
+            step_fns = [
+                functools.partial(
+                    lambda step, yh, c: self.module.apply(
+                        self.params, step, yh, c,
+                        method=CompressiveBottleneck.spatial_step), i)
+                for i in (1, 2, 3)]
+            red = functools.partial(self.module.apply, self.params,
+                                    method=CompressiveBottleneck.reduce_common)
+            out = forward_four_part_prior(
+                y_t, common, step_fns, reduction_fn=red, training=False,
+                force_zero_thres=self.force_zero_thres)
+            return gaussian_bits(out.y_q, out.scales_hat, training=False)
+
+        return _map(y, (H, W), q_idx)
+
+    def compress_decompress_entropy_map(self, y, img_hw, q_idx: int = 0):
+        """Round-trip + bit map (reference: sq_bottleneck.py:234-253)."""
+        emap = self.entropy_map(y, q_idx)
+        y_hat, info = self.compress_decompress(y, img_hw, q_idx)
+        info["entropy_map"] = emap
+        return y_hat, info
+
     def compress_decompress(self, y, img_hw, q_idx: int = 0):
         """Round-trip with the reference's validity contract
         (reference: sq_bottleneck.py:202-216)."""

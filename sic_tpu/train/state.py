@@ -68,31 +68,71 @@ def partition_labels(params, tune_titok: bool = False):
     return labels
 
 
+def split_params(params, tune_titok: bool = False):
+    """Partition the codec param tree into (trainable, frozen) flat dicts.
+
+    The training step differentiates ONLY the trainable subtree — the
+    frozen 0.6B-param ViT backbones get neither gradient buffers nor
+    optimizer state (the memory counterpart of the reference's
+    ``requires_grad_(False)``)."""
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(params)
+    train, frozen = {}, {}
+    for k, v in flat.items():
+        (frozen if is_frozen_path(k, tune_titok) else train)[k] = v
+    return train, frozen
+
+
+def merge_params(train_flat, frozen_flat):
+    import flax.traverse_util as tu
+    return tu.unflatten_dict({**train_flat, **frozen_flat})
+
+
+def _is_vqgan_decoder_side(path) -> bool:
+    p = tuple(getattr(k, "key", k) for k in path)
+    if "vqgan" in p:
+        sub = p[p.index("vqgan") + 1]
+        return sub in ("decoder", "post_quant_conv", "quantize")
+    return False
+
+
 def stage_grad_mask(grads, stage: str):
     """Zero the VQGAN decoder-side grads outside stage 'pix'
-    (reference: codec_sq_fixbpp.py:560-569)."""
+    (reference: codec_sq_fixbpp.py:560-569).  Works on nested trees and on
+    the flat dicts produced by :func:`split_params`."""
     if stage == "pix":
         return grads
+    if isinstance(grads, dict) and grads and \
+            isinstance(next(iter(grads.keys())), tuple):
+        return {k: (jnp.zeros_like(g) if _is_vqgan_decoder_side(k) else g)
+                for k, g in grads.items()}
 
     def mask(path, g):
-        p = tuple(k.key for k in path)
-        if "vqgan" in p:
-            sub = p[p.index("vqgan") + 1]
-            if sub in ("decoder", "post_quant_conv", "quantize"):
-                return jnp.zeros_like(g)
-        return g
+        return jnp.zeros_like(g) if _is_vqgan_decoder_side(path) else g
 
     return jax.tree_util.tree_map_with_path(mask, grads)
 
 
-def make_ae_optimizer(params, learning_rate: float, tune_titok: bool = False):
-    """Adam betas (0.5, 0.9) over trainable params
-    (reference: codec_sq_fixbpp.py:510-517)."""
-    tx = optax.multi_transform(
-        {"ae": optax.adam(learning_rate, b1=0.5, b2=0.9),
-         "frozen": optax.set_to_zero()},
-        partition_labels(params, tune_titok))
-    return tx
+def make_ae_optimizer(params, learning_rate: float, tune_titok: bool = False,
+                      mu_dtype=None):
+    """Adam betas (0.5, 0.9) over the TRAINABLE subtree only
+    (reference: codec_sq_fixbpp.py:510-517).  Returns (tx, init_state) —
+    moments exist only for trainable params.  ``mu_dtype=jnp.bfloat16``
+    halves first-moment memory (big-model single-chip option)."""
+    tx = optax.adam(learning_rate, b1=0.5, b2=0.9, mu_dtype=mu_dtype)
+    trainable, _ = split_params(params, tune_titok)
+    return tx, tx.init(trainable)
+
+
+def cast_frozen_params(params, dtype, tune_titok: bool = False):
+    """Store the frozen subtree (TiTok backbones, VQGAN encoder) at a lower
+    dtype — they are inference-only, so bf16 storage halves their HBM
+    footprint without touching optimizer numerics."""
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(params)
+    out = {k: (v.astype(dtype) if is_frozen_path(k, tune_titok) else v)
+           for k, v in flat.items()}
+    return tu.unflatten_dict(out)
 
 
 def make_disc_optimizer(learning_rate: float):

@@ -19,7 +19,7 @@ import optax
 from ..models.codec import Codec
 from .losses import (adaptive_d_weight, adopt_weight, feat_align_loss,
                      hinge_d_loss, vanilla_d_loss)
-from .state import TrainState, stage_grad_mask
+from .state import TrainState, merge_params, split_params, stage_grad_mask
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,10 +53,21 @@ def _last_conv_apply(h_pre, w, b):
 
 
 def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
-               img_cfg: ImgLossCfg, ae_tx, disc_tx):
+               img_cfg: ImgLossCfg, ae_tx, disc_tx,
+               tune_titok: bool = False, donate: bool = False):
     """Build the jitted step functions.  ``disc``/``lpips`` are flax modules;
-    ``ae_tx``/``disc_tx`` optax transforms."""
+    ``ae_tx``/``disc_tx`` optax transforms.
+
+    Gradients are taken w.r.t. the trainable subtree only — the frozen
+    ViT/VQGAN-encoder params are closed over, so no gradient or optimizer
+    buffers exist for them."""
     d_loss_fn = hinge_d_loss if img_cfg.disc_loss == "hinge" else vanilla_d_loss
+    _split = functools.partial(split_params, tune_titok=tune_titok)
+    # donation reuses the old state's buffers for the new state — required
+    # headroom for billion-param single-chip training, but it invalidates
+    # the caller's input state object (off by default for test friendliness)
+    _jit = (functools.partial(jax.jit, donate_argnums=(0,)) if donate
+            else jax.jit)
 
     def _nll(params_lpips, x, x_hat):
         rec = jnp.mean(jnp.abs(x - x_hat))
@@ -64,15 +75,17 @@ def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
         return rec + img_cfg.perceptual_weight * p, rec, p
 
     # ---- stage feat / feat_wo_bpp ------------------------------------------
-    @jax.jit
+    @_jit
     def feat_step(state: TrainState, x) -> Tuple[TrainState, Dict]:
         rng, noise_rng = jax.random.split(state.rng)
         lmbda = state.current_lmbda()
         teacher_latent, teacher_idx = codec.apply(
             state.params, x, method=Codec.encode_to_vqgan)
+        trainable, frozen = _split(state.params)
 
-        def loss_fn(params):
-            out = codec.apply(params, x, need_full_decode=False,
+        def loss_fn(trainable):
+            out = codec.apply(merge_params(trainable, frozen), x,
+                              need_full_decode=False,
                               training=True, noise_rng=noise_rng)
             loss, logs = feat_align_loss(
                 out["vqgan_latent"], out["logits"], teacher_latent,
@@ -85,22 +98,25 @@ def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
             logs["train/lambda"] = lmbda
             return loss, logs
 
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
         grads = stage_grad_mask(grads, "feat")
-        updates, opt_state = ae_tx.update(grads, state.opt_state_ae, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state.replace(params=params, opt_state_ae=opt_state,
+        updates, opt_state = ae_tx.update(grads, state.opt_state_ae, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return state.replace(params=merge_params(trainable, frozen),
+                             opt_state_ae=opt_state,
                              global_step=state.global_step + 1, rng=rng), logs
 
     # ---- stage pix: generator + discriminator -------------------------------
-    @jax.jit
+    @_jit
     def pix_step(state: TrainState, x) -> Tuple[TrainState, Dict]:
         rng, noise_rng = jax.random.split(state.rng)
         lmbda = state.current_lmbda()
         disc_factor = adopt_weight(img_cfg.disc_factor, state.global_step,
                                    img_cfg.disc_start)
+        trainable, frozen = _split(state.params)
 
-        def gen_loss_fn(params):
+        def gen_loss_fn(trainable):
+            params = merge_params(trainable, frozen)
             out = codec.apply(params, x, need_full_decode=True, training=True,
                               noise_rng=noise_rng, return_pre_out=True)
             x_hat = out["x_hat"]
@@ -145,10 +161,11 @@ def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
             return loss, (logs, x_hat)
 
         (loss, (logs, x_hat)), grads = jax.value_and_grad(
-            gen_loss_fn, has_aux=True)(state.params)
+            gen_loss_fn, has_aux=True)(trainable)
         grads = stage_grad_mask(grads, "pix")
-        updates, opt_ae = ae_tx.update(grads, state.opt_state_ae, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_ae = ae_tx.update(grads, state.opt_state_ae, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        params = merge_params(trainable, frozen)
 
         # discriminator pass on detached tensors (reference: :763-777)
         x_hat = jax.lax.stop_gradient(x_hat)

@@ -31,14 +31,26 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
                        rng, feat_cfg: FeatLossCfg = FeatLossCfg(),
                        img_cfg: ImgLossCfg = ImgLossCfg(),
                        image_hw=None, tune_titok: bool = False,
-                       codec_params=None, dtype=None):
-    """Initialize models, optimizers and the jitted step functions."""
+                       codec_params=None, dtype=None,
+                       donate: bool = False, mu_dtype=None,
+                       frozen_dtype=None):
+    """Initialize models, optimizers and the jitted step functions.
+
+    Single-chip big-model knobs: ``donate=True`` reuses state buffers
+    across steps; ``mu_dtype=jnp.bfloat16`` halves Adam first-moment
+    memory; ``frozen_dtype=jnp.bfloat16`` stores the frozen backbones in
+    bf16 (they are inference-only)."""
+    from .state import cast_frozen_params
+
     r_codec, r_disc, r_lpips, r_state = jax.random.split(rng, 4)
     hw = image_hw or (spec.tile_px, spec.tile_px)
     codec = Codec(spec, dtype)
     if codec_params is None:
         from ..models.codec import init_codec
         _, codec_params = init_codec(spec, r_codec, hw, dtype)
+    if frozen_dtype is not None:
+        codec_params = cast_frozen_params(codec_params, frozen_dtype,
+                                          tune_titok)
 
     disc = NLayerDiscriminator(ndf=img_cfg.disc_ndf,
                                n_layers=img_cfg.disc_num_layers)
@@ -48,14 +60,16 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
     lpips = LPIPS()
     lpips_params = lpips.init(r_lpips, dummy, dummy)
 
-    ae_tx = make_ae_optimizer(codec_params, strategy.learning_rate, tune_titok)
+    ae_tx, opt_state_ae = make_ae_optimizer(codec_params,
+                                            strategy.learning_rate, tune_titok,
+                                            mu_dtype=mu_dtype)
     disc_tx = make_disc_optimizer(strategy.learning_rate)
 
     start = strategy.start_epoch
     _, stage0 = strategy.stage_at(start)
     state = TrainState(
         params=codec_params,
-        opt_state_ae=ae_tx.init(codec_params),
+        opt_state_ae=opt_state_ae,
         disc_params=disc_vars["params"],
         disc_stats=disc_vars.get("batch_stats", {}),
         opt_state_disc=disc_tx.init(disc_vars["params"]),
@@ -66,7 +80,8 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
         lmbda_list=jnp.asarray(stage0.lmbda_list, jnp.float32),
         rng=r_state,
     )
-    steps = make_steps(codec, disc, lpips, feat_cfg, img_cfg, ae_tx, disc_tx)
+    steps = make_steps(codec, disc, lpips, feat_cfg, img_cfg, ae_tx, disc_tx,
+                       tune_titok=tune_titok, donate=donate)
     return codec, state, steps
 
 
@@ -159,6 +174,13 @@ class Trainer:
                 lmbda_list=jnp.asarray(next_spec.lmbda_list, jnp.float32))
         self.state = self.state.replace(
             epoch_for_strategy=jnp.asarray(next_epoch, jnp.int32))
+
+    def log_images(self, batch) -> Dict[str, Any]:
+        """Reconstruction pairs for the image logger
+        (reference: codec_sq_fixbpp.py:832-838)."""
+        out = self.codec.apply(self.state.params, jnp.asarray(batch),
+                               need_full_decode=True)
+        return {"x": out["x"], "x_hat": out["x_hat"]}
 
     def fit(self, train_data_fn, val_data_fn, epochs: Optional[int] = None):
         total = epochs if epochs is not None else (

@@ -66,3 +66,25 @@ def test_forward_training_grads():
     # rate term must reach the prior nets
     gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
     assert gnorm > 0
+
+
+def test_entropy_map_helpers():
+    """Ablation helpers (reference: sq_bottleneck.py:219-253)."""
+    import jax
+    import jax.numpy as jnp
+    from sic_tpu.models.bottleneck import BottleneckCoder, CompressiveBottleneck
+
+    module = CompressiveBottleneck(feat_dim=16, quant_dim=8)
+    y = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 16))
+    params = module.init(jax.random.PRNGKey(1), y, (64, 64))
+    coder = BottleneckCoder(module, params)
+
+    emap = coder.entropy_map(y)
+    assert emap.shape == (1, 8, 8, 8)
+    assert float(jnp.min(emap)) >= 0.0
+
+    y_hat, info = coder.compress_decompress_entropy_map(y, (64, 64))
+    assert "entropy_map" in info and info["bpp"] > 0
+    # bit-map total is the estimator behind bpp_est
+    est_bits = float(jnp.sum(info["entropy_map"]))
+    assert est_bits == pytest.approx(info["bpp_est"] * 64 * 64, rel=1e-3)
