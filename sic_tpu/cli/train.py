@@ -43,6 +43,10 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="tiny spec for smoke runs")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no_donate", action="store_true",
+                    help="disable cross-step buffer donation")
+    ap.add_argument("--f32_frozen", action="store_true",
+                    help="keep frozen backbones in f32 (default bf16 on TPU)")
     args = ap.parse_args(argv)
 
     from ..config import (flagship_spec, load_config, qp_strategy, tiny_spec)
@@ -79,10 +83,15 @@ def main(argv=None):
     else:
         val_ds = None
 
+    import jax.numpy as jnp
+    on_tpu = jax.devices()[0].platform != "cpu"
     codec, state, steps = create_train_state(
         spec, strategy, jax.random.PRNGKey(args.seed),
         feat_cfg=feat_cfg, img_cfg=img_cfg,
-        image_hw=(args.train_px, args.train_px), tune_titok=tune_titok)
+        image_hw=(args.train_px, args.train_px), tune_titok=tune_titok,
+        donate=not args.no_donate,
+        mu_dtype=jnp.bfloat16 if on_tpu else None,
+        frozen_dtype=None if (args.f32_frozen or not on_tpu) else jnp.bfloat16)
     if args.resume:
         resumed = load_checkpoint(args.resume, state)
         if args.reset_schedule:
