@@ -18,7 +18,7 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 # Same-pipeline host-CPU baseline, measured once with
 #   JAX_PLATFORMS=cpu python bench.py --cpu-baseline
@@ -40,15 +40,19 @@ def build():
 
 
 def run(rt):
-    x = jax.random.uniform(jax.random.PRNGKey(1), (1, SIZE, SIZE, 3),
-                           minval=-1.0, maxval=1.0)
+    keys = jax.random.split(jax.random.PRNGKey(1), ITERS)
+    images = [jax.random.uniform(k, (1, SIZE, SIZE, 3),
+                                 minval=-1.0, maxval=1.0) for k in keys]
     # warmup / compile
     for _ in range(2):
-        x_hat, _, _ = rt.encode_decode(x, (SIZE, SIZE))
+        x_hat, bpp, _ = rt.encode_decode(images[0], (SIZE, SIZE))
     jax.block_until_ready(x_hat)
 
+    # sequential round-trips (the tunnel in this environment serializes
+    # transfers, so thread-pipelining via encode_decode_many gains nothing
+    # here; on locally-attached TPUs prefer encode_decode_many)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for x in images:
         x_hat, bpp, _ = rt.encode_decode(x, (SIZE, SIZE))
     jax.block_until_ready(x_hat)
     dt = time.perf_counter() - t0

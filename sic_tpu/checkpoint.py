@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 
 def _params_template(spec, image_hw=None, dtype=None):
-    from .models.codec import Codec, init_codec
+    from .models.codec import Codec
 
     hw = image_hw or (spec.tile_px, spec.tile_px)
     model = Codec(spec, dtype)

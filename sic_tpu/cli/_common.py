@@ -1,11 +1,11 @@
 """Shared CLI plumbing: model/config/clip loading, determinism, progress."""
 from __future__ import annotations
 
-import argparse
+
 import sys
 import time
-from pathlib import Path
-from typing import Optional, Tuple
+
+from typing import Optional
 
 import numpy as np
 
@@ -60,7 +60,7 @@ def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
 
 def load_clip_codec(clip_ckpt: Optional[str] = None,
                     bpe_path: Optional[str] = None):
-    from ..retrieval import ClipCodec, CLIPSpec, port_open_clip_weights
+    from ..retrieval import ClipCodec, port_open_clip_weights
     params = port_open_clip_weights(clip_ckpt) if clip_ckpt else None
     if params is None:
         print("[WARN] no --clip_ckpt given; CLIP embeddings are "

@@ -12,10 +12,10 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from pathlib import Path
+
 
 import jax
-import numpy as np
+
 
 
 def main(argv=None):

@@ -21,7 +21,7 @@ from ..entropy import EntropyCoder, build_gaussian_tables
 from ..entropy.fourpart import (combine_for_writing, forward_four_part_prior,
                                 four_part_masks, process_with_mask,
                                 separate_prior, add_uniform_noise)
-from ..entropy.gaussian import build_indexes, gaussian_bits, lower_bound
+from ..entropy.gaussian import build_indexes, gaussian_bits
 from .dcvc import DepthConvBlock4
 
 
@@ -130,11 +130,15 @@ class BottleneckCoder:
     def __init__(self, module: CompressiveBottleneck, params,
                  force_zero_thres: Optional[float] = 0.12,
                  stream_part: int = 1):
+        import threading
         self.module = module
         self.params = params
         self.force_zero_thres = force_zero_thres
         self.tables = build_gaussian_tables("gaussian")
         self.coder = EntropyCoder(stream_part)
+        # the native coder is stateful; guard it so pipelined callers can
+        # overlap device dispatch with another image's host coding
+        self.lock = threading.Lock()
         self.cdf_group = self.coder.add_cdf(
             self.tables.quantized_cdf, self.tables.cdf_length, self.tables.offset)
 
@@ -219,12 +223,11 @@ class BottleneckCoder:
         return jax.jit(fn, static_argnames=("img_hw", "q_idx"))(
             y, img_hw=tuple(img_hw), q_idx=q_idx)
 
-    def compress(self, y, q_idx: int = 0):
-        """y: (B, H, W, feat_dim) -> (bit_stream bytes, y_hat).
-
-        The whole four-step chain is device-resident — dispatches enqueue
-        asynchronously and the host boundary is crossed exactly once with
-        one packed planes array."""
+    def compress_plan(self, y, q_idx: int = 0):
+        """Dispatch the whole device-side encode chain WITHOUT any host
+        sync; returns (packed_planes device array, y_hat device array).
+        The caller fetches ``packed`` (one transfer) and runs
+        :meth:`encode_packed`."""
         p = self.params
         y_t = self._encode_transform(p, y, q_idx)
         quant_step, scales, means, common, idx0 = self._prior(
@@ -243,33 +246,50 @@ class BottleneckCoder:
             planes.append((sym_plane, idx))
             y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane, means, step)
 
-        packed = np.asarray(self._pack_planes(planes))   # single transfer
-        self.coder.reset()
-        for step in range(4):
-            self.coder.encode_with_indexes(packed[step, 0], packed[step, 1],
-                                           self.cdf_group)
-        self.coder.flush()
-        stream = self.coder.get_encoded_stream()
-
+        packed = self._pack_planes(planes)
         y_hat = self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
-        return stream, y_hat
+        return packed, y_hat
+
+    def encode_packed(self, packed: np.ndarray) -> bytes:
+        """Host rANS over a fetched packed-planes array."""
+        with self.lock:
+            self.coder.reset()
+            for step in range(packed.shape[0]):
+                self.coder.encode_with_indexes(packed[step, 0],
+                                               packed[step, 1],
+                                               self.cdf_group)
+            self.coder.flush()
+            return self.coder.get_encoded_stream()
+
+    def compress(self, y, q_idx: int = 0):
+        """y: (B, H, W, feat_dim) -> (bit_stream bytes, y_hat).
+
+        The whole four-step chain is device-resident — dispatches enqueue
+        asynchronously and the host boundary is crossed exactly once with
+        one packed planes array."""
+        packed, y_hat = self.compress_plan(y, q_idx)
+        return self.encode_packed(np.asarray(packed)), y_hat
 
     def decompress(self, bit_stream: bytes, feat_shape, q_idx: int = 0):
         """feat_shape: (B, H, W, quant_dim) of the transformed latent."""
         p = self.params
         B, H, W, C = feat_shape
-        self.coder.set_stream(bit_stream)
-        quant_step, scales, means, common, idx = self._prior(p, (B, H, W), q_idx)
+        with self.lock:
+            self.coder.set_stream(bit_stream)
+            quant_step, scales, means, common, idx = self._prior(
+                p, (B, H, W), q_idx)
 
-        y_hat_so_far = jnp.zeros((B, H, W, C), dtype=quant_step.dtype)
-        for step in range(4):
-            if step > 0:
-                scales, means, idx = self._spatial_step(p, step, y_hat_so_far,
-                                                        common)
-            idx_np = np.asarray(idx)                     # sync: need symbols
-            sym_np = self.coder.decode_stream(idx_np, self.cdf_group)
-            sym_plane = jnp.asarray(sym_np.reshape(idx_np.shape), dtype=jnp.int32)
-            y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane, means, step)
+            y_hat_so_far = jnp.zeros((B, H, W, C), dtype=quant_step.dtype)
+            for step in range(4):
+                if step > 0:
+                    scales, means, idx = self._spatial_step(
+                        p, step, y_hat_so_far, common)
+                idx_np = np.asarray(idx)             # sync: need symbols
+                sym_np = self.coder.decode_stream(idx_np, self.cdf_group)
+                sym_plane = jnp.asarray(sym_np.reshape(idx_np.shape),
+                                        dtype=jnp.int32)
+                y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
+                                                               means, step)
 
         return self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
 

@@ -198,6 +198,9 @@ class CodecRuntime:
                                        force_zero_thres=spec.force_zero_thres,
                                        stream_part=stream_part)
 
+        import threading
+        self._z_lock = threading.Lock()
+
         # semantic-stream coder: uniform CDF over the TiTok codebook
         K = spec.titok.codebook_size
         precision = 16
@@ -221,14 +224,19 @@ class CodecRuntime:
             x01 = shard_batch(x01, self.mesh)
         with timed_stage(timer, "encode_device"):
             z_indices, h, _ = self._encode(self.params, x01)
+            packed_dev, _ = self.h_coder.compress_plan(h, q_idx=0)
         # tile grid is a static function of the padded image size
         stack_shape = (H // self.spec.tile_px, W // self.spec.tile_px)
 
-        with timed_stage(timer, "h_rans"):
-            h_bit_stream, _ = self.h_coder.compress(h, q_idx=0)
+        with timed_stage(timer, "fetch"):
+            # one batched device->host fetch for both streams' inputs
+            z_np, packed = jax.device_get((z_indices, packed_dev))
 
-        with timed_stage(timer, "z_rans"):
-            idx_np = np.asarray(z_indices).reshape(-1)
+        with timed_stage(timer, "h_rans"):
+            h_bit_stream = self.h_coder.encode_packed(packed)
+
+        with timed_stage(timer, "z_rans"), self._z_lock:
+            idx_np = z_np.reshape(-1)
             self.z_coder.reset()
             self.z_coder.encode_with_indexes(
                 idx_np.astype(np.int32), np.zeros(idx_np.size, np.int16),
@@ -252,7 +260,7 @@ class CodecRuntime:
         """Returns x_hat (B, H, W, 3) clamped to [-1, 1]."""
         from ..utils.profiling import timed_stage
 
-        with timed_stage(timer, "z_rans"):
+        with timed_stage(timer, "z_rans"), self._z_lock:
             self.z_coder.set_stream(z_bit_stream)
             sym = self.z_coder.decode_stream(
                 np.zeros(int(token_length), np.int16), self.z_cdf_group)
@@ -266,6 +274,16 @@ class CodecRuntime:
             h_hat = self.h_coder.decompress(h_bit_stream, latent_shape, q_idx=0)
         with timed_stage(timer, "decode_device"):
             return self._decode(self.params, z_indices, h_hat, tuple(stack_shape))
+
+    def encode_decode_many(self, images, original_shapes=None,
+                           workers: int = 2):
+        """Thread-pipelined round-trips over a list of images: one image's
+        host rANS overlaps the next image's device compute (the coders are
+        lock-guarded).  Returns a list of (x_hat, bpp_dict, enc_result)."""
+        from concurrent.futures import ThreadPoolExecutor
+        shapes = original_shapes or [tuple(im.shape[-3:-1]) for im in images]
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(self.encode_decode, images, shapes))
 
     def encode_decode(self, x, original_shape: Tuple[int, int]):
         """Round-trip with bpp accounting (reference: codec_sq_fixbpp.py:904-922)."""

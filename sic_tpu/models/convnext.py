@@ -9,7 +9,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
-import jax.numpy as jnp
+
 
 from .layers import LayerNorm
 

@@ -18,10 +18,10 @@ Architecture notes vs the torch original:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
-import jax
+
 import jax.numpy as jnp
 
 from .bottleneck import CompressiveBottleneck

@@ -12,7 +12,7 @@ The argmin is one codebook matmul + argmax — MXU-shaped, no gather loops.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 

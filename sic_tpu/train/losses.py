@@ -12,7 +12,7 @@ network (cheaper than the reference's retain_graph double backward).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ non-grad ``nn.Parameter`` trick (codec_sq_fixbpp.py:542-546).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import flax.struct
 import jax

@@ -15,7 +15,7 @@ validation bpp leaves the stage's ``[bpp_lower, bpp_upper]`` band
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Tuple
 
 STAGE_NAMES = ("feat_wo_bpp", "feat", "pix")
 

@@ -10,14 +10,14 @@ the schedule state.
 from __future__ import annotations
 
 import dataclasses
-import json
+
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from ..models.codec import Codec, CodecSpec
 from ..models.discriminator import NLayerDiscriminator
