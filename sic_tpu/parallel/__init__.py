@@ -14,8 +14,8 @@ Axes:
   ``(B*nH*nW)`` ViT tile-batch axis inherits the sharding.  This is the
   workload's natural "long-context" axis (SURVEY.md §2.6).
 """
-from .mesh import (batch_sharding, image_sharding, make_mesh, replicated,
-                   shard_batch, shard_state)
+from .mesh import (batch_sharding, fsdp_sharding, image_sharding, make_mesh,
+                   replicated, shard_batch, shard_state, shard_state_fsdp)
 
-__all__ = ["batch_sharding", "image_sharding", "make_mesh", "replicated",
-           "shard_batch", "shard_state"]
+__all__ = ["batch_sharding", "fsdp_sharding", "image_sharding", "make_mesh",
+           "replicated", "shard_batch", "shard_state", "shard_state_fsdp"]

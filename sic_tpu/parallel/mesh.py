@@ -54,3 +54,33 @@ def shard_batch(x, mesh: Mesh, spatial: bool = True):
 def shard_state(tree, mesh: Mesh):
     """Replicate a param/optimizer/state pytree onto every device."""
     return jax.device_put(tree, replicated(mesh))
+
+
+def fsdp_sharding(tree, mesh: Mesh, axis: str = "data",
+                  min_size: int = 1 << 16):
+    """Per-leaf shardings that split each large tensor's biggest
+    ``axis``-divisible dimension across ``axis`` (ZeRO/FSDP-style weight
+    and optimizer-state sharding; GSPMD inserts the all-gathers).  Small
+    leaves stay replicated."""
+    n = mesh.shape[axis]
+
+    def spec_for(x):
+        shape = getattr(x, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if n <= 1 or size < min_size:
+            return NamedSharding(mesh, P())
+        dims = [d for d in range(len(shape)) if shape[d] % n == 0]
+        if not dims:
+            return NamedSharding(mesh, P())
+        dim = max(dims, key=lambda d: shape[d])
+        spec = [None] * len(shape)
+        spec[dim] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(spec_for, tree)
+
+
+def shard_state_fsdp(tree, mesh: Mesh, axis: str = "data",
+                     min_size: int = 1 << 16):
+    """Place a state pytree with FSDP-style sharding of its big leaves."""
+    return jax.device_put(tree, fsdp_sharding(tree, mesh, axis, min_size))

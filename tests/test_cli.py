@@ -69,3 +69,18 @@ def test_compress_decompress_build_search(workdir):
         .VectorIndex.load(idx_dir)[0], topk=2)
     assert out[0][0].endswith("img_0.c2df")
     assert out[0][1] == pytest.approx(1.0, abs=5e-3)  # bf16 MXU scoring
+
+
+def test_evaluate_cli(workdir, capsys):
+    import json
+    from sic_tpu.cli import evaluate as eval_cli
+    eval_cli.main(["--base_config", FIXTURE_CFG,
+                   "--dataset_dir", str(workdir / "images")])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.strip().startswith("{")]
+    summary = lines[-1]
+    assert summary["type"] == "summary" and summary["n"] == 2
+    assert summary["mean_bpp"] > 0
+    assert np.isfinite(summary["mean_psnr"])
+    per_img = lines[0]
+    assert "ms_ssim" in per_img  # images are >=176px

@@ -63,3 +63,24 @@ def test_prefetch_preserves_order():
     from sic_tpu.data import prefetch
     items = list(prefetch(iter(range(20)), depth=3))
     assert items == list(range(20))
+
+
+def test_fsdp_sharding_specs():
+    from sic_tpu.parallel import fsdp_sharding
+    mesh = make_mesh(shape=(4, 2))
+    tree = {"big": jnp.zeros((8, 128, 128)),       # shardable on dim 0
+            "odd": jnp.zeros((7, 129 * 1024)),     # dim1 % 4 == 0
+            "small": jnp.zeros((4,)),              # stays replicated
+            "scalar": jnp.zeros(())}
+    specs = fsdp_sharding(tree, mesh, min_size=1 << 10)
+    assert specs["big"].spec == jax.sharding.PartitionSpec(None, "data", None) \
+        or specs["big"].spec == jax.sharding.PartitionSpec("data", None, None)
+    assert specs["small"].spec == jax.sharding.PartitionSpec()
+    assert specs["scalar"].spec == jax.sharding.PartitionSpec()
+
+    # sharded computation still matches replicated
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 128, 128))
+    f = jax.jit(lambda t: jnp.sum(t ** 2))
+    ref = float(f(x))
+    xs = jax.device_put(x, fsdp_sharding({"x": x}, mesh, min_size=1)["x"])
+    assert float(f(xs)) == pytest.approx(ref, rel=1e-6)
