@@ -275,3 +275,23 @@ def test_titok_decoder_parity():
         {"params": tree}, z_ours, jnp.zeros((1, 8, 8, 64)), (1, 1))
     np.testing.assert_allclose(np.asarray(titok_hat), ref,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_lpips_lin_heads_port_from_shipped_weights():
+    """The reference ships the LPIPS calibration heads; port them."""
+    import jax
+    from sic_tpu.models.lpips import LPIPS, port_lpips_params
+    lp = LPIPS()
+    dummy = jnp.zeros((1, 35, 35, 3))
+    params = lp.init(jax.random.PRNGKey(0), dummy, dummy)
+    ported = port_lpips_params(
+        params,
+        lin_ckpt="/root/reference/src/taming/modules/autoencoder/lpips/vgg.pth")
+    lin0 = np.asarray(ported["params"]["lin_0"])
+    assert lin0.shape == (64,)
+    # real calibration weights, not the ones-init
+    assert not np.allclose(lin0, 1.0)
+    assert np.all(lin0 >= 0)  # official LPIPS weights are non-negative
+    # distance still evaluates
+    d = lp.apply(ported, dummy, dummy + 0.1)
+    assert np.isfinite(float(d[0]))
