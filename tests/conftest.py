@@ -31,3 +31,10 @@ REFERENCE_DIR = Path("/root/reference")
 def reference_fixture(relpath: str) -> Path:
     """Path to a read-only golden artifact shipped with the reference tree."""
     return REFERENCE_DIR / relpath
+
+
+def requires_reference():
+    """Module-level skip marker for tests needing the reference tree."""
+    import pytest
+    return pytest.mark.skipif(not REFERENCE_DIR.exists(),
+                              reason="reference tree not mounted")

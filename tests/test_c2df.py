@@ -8,6 +8,11 @@ from conftest import reference_fixture
 APPLE = reference_fixture("IO/bitstreams/apple.c2df")
 
 
+
+from conftest import requires_reference
+
+pytestmark = requires_reference()
+
 def test_roundtrip_synthetic():
     enc = {
         "z_bit_stream": b"\x01\x02\x03",

@@ -13,6 +13,11 @@ from sic_tpu.config import flagship_spec, load_config, qp_strategy
 REF_TRAIN = Path("/root/reference/src/config/train")
 
 
+
+from conftest import requires_reference
+
+pytestmark = requires_reference()
+
 def test_flagship_spec_matches_reference_test_config():
     cfg = load_config(reference_fixture("src/config/config_test.yaml"))
     spec = cfg.spec

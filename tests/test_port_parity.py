@@ -34,6 +34,11 @@ from sic_tpu.models.dcvc import DepthConvBlock4
 TOL = dict(rtol=2e-4, atol=2e-5)
 
 
+
+from conftest import requires_reference
+
+pytestmark = requires_reference()
+
 def _sd(mod):
     return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
 

@@ -5,11 +5,13 @@ import json
 import numpy as np
 import pytest
 
-from conftest import reference_fixture
+from conftest import reference_fixture, requires_reference
 from sic_tpu.retrieval import (ClipCodec, CLIPSpec, VectorIndex,
                                decode_clip_stream, dequantize_clip_u8,
                                quantize_clip_u8, read_flat_index,
                                write_flat_index)
+
+
 
 
 def test_clip_u8_quantization_roundtrip():
@@ -22,6 +24,7 @@ def test_clip_u8_quantization_roundtrip():
     assert float(z @ z2) > 0.995  # 8-bit quantization keeps the direction
 
 
+@requires_reference()
 def test_golden_faiss_index_parses():
     v, metric = read_flat_index(reference_fixture("IO/faiss/index.faiss"))
     assert metric == "ip"
@@ -32,6 +35,7 @@ def test_golden_faiss_index_parses():
     assert float(v[0] @ (raw / np.linalg.norm(raw))) > 0.9999
 
 
+@requires_reference()
 def test_faiss_file_roundtrip_byte_identical(tmp_path):
     golden = reference_fixture("IO/faiss/index.faiss").read_bytes()
     v, _ = read_flat_index(reference_fixture("IO/faiss/index.faiss"))
