@@ -92,3 +92,42 @@ def test_golden_apple_clip_stream_decodes():
     ref = ref / np.linalg.norm(ref)
     # u8 quantisation error bound
     assert float(np.dot(z, ref)) > 0.998
+
+
+def test_cross_interop_with_reference_filemaker():
+    """Two-way format interop, using the reference's own pack/unpack as the
+    oracle: our blobs parse there, theirs parse here, byte-identically."""
+    import sys
+    import numpy as np
+    sys.path.insert(0, "/root/reference/src")
+    import filemaker as ref_fm
+
+    from sic_tpu.container import pack_c2df, unpack_c2df
+
+    enc = {
+        "z_bit_stream": b"\x01\x02\x03",
+        "h_bit_stream": b"\xff" * 10,
+        "img_shape": (256, 512),
+        "feat_shape": (1, 8, 16, 64),
+        "stack_shape": (1, 2),
+        "token_length": 64,
+        "z_indices_shape": (2, 32),
+        "clip_stream": b"zzz",
+        "clip_meta": {"model_id": "m", "dim": 512},
+    }
+    header = {"version": 2, "image_hw": [250, 500], "padding": [0, 12, 0, 6]}
+
+    ours = pack_c2df(enc, header)
+    theirs = ref_fm.pack_c2df(dict(enc), dict(header))
+    assert ours == theirs, "pack not byte-identical to the reference"
+
+    enc_r, header_r = ref_fm.unpack_c2df(ours)
+    assert header_r == header
+    assert bytes(enc_r["z_bit_stream"]) == enc["z_bit_stream"]
+    assert int(enc_r["token_length"]) == 64
+
+    enc_o, header_o = unpack_c2df(theirs)
+    assert header_o == header
+    assert bytes(enc_o["h_bit_stream"]) == enc["h_bit_stream"]
+    np.testing.assert_array_equal(np.asarray(enc_o["feat_shape"]),
+                                  [1, 8, 16, 64])
