@@ -144,13 +144,20 @@ class PartEncoder {
 
 class PartDecoder {
  public:
-  void set_stream(std::vector<uint8_t> data) {
+  // Returns false on malformed (too-short) substreams.
+  bool set_stream(std::vector<uint8_t> data) {
     data_ = std::move(data);
-    pos_ = 0;
+    if (data_.size() < 4) {
+      data_.clear();
+      pos_ = 0;
+      x_ = 0;
+      return false;
+    }
     x_ = static_cast<uint32_t>(data_[0]) | (static_cast<uint32_t>(data_[1]) << 8) |
          (static_cast<uint32_t>(data_[2]) << 16) |
          (static_cast<uint32_t>(data_[3]) << 24);
     pos_ = 4;
+    return true;
   }
 
   void decode(const int16_t* indexes, int64_t n, const CdfGroup& g,
@@ -364,6 +371,9 @@ int sic_dec_add_cdf(SicDecoder* d, const int32_t* cdfs, int32_t ncdf,
 }
 
 int sic_dec_set_stream(SicDecoder* d, const uint8_t* data, int64_t n) {
+  // Defensive parse: this entry point sees untrusted bytes (service-side
+  // .c2df uploads).  Every header read and substream slice is bounds-
+  // checked; any inconsistency returns -1 (python raises ValueError).
   if (n < 1) return -1;
   const uint8_t flag = data[0];
   const int nstreams = (flag >> 4) + 1;
@@ -374,6 +384,7 @@ int sic_dec_set_stream(SicDecoder* d, const uint8_t* data, int64_t n) {
   std::vector<uint32_t> sizes;
   int64_t off = 1;
   int64_t total = 0;
+  if (off + static_cast<int64_t>(nstreams - 1) * per_header > n) return -1;
   for (int i = 0; i < nstreams - 1; ++i) {
     uint32_t sz = 0;
     if (per_header == 2) {
@@ -388,10 +399,14 @@ int sic_dec_set_stream(SicDecoder* d, const uint8_t* data, int64_t n) {
     sizes.push_back(sz);
     total += sz;
   }
+  if (off + total > n) return -1;
   sizes.push_back(static_cast<uint32_t>(n - off - total));
   for (int i = 0; i < nstreams; ++i) {
-    d->parts[i].set_stream(
-        std::vector<uint8_t>(data + off, data + off + sizes[i]));
+    if (off + static_cast<int64_t>(sizes[i]) > n) return -1;
+    if (!d->parts[i].set_stream(
+            std::vector<uint8_t>(data + off, data + off + sizes[i]))) {
+      return -1;
+    }
     off += sizes[i];
   }
   return nstreams;

@@ -1,0 +1,94 @@
+"""Adversarial-input robustness: malformed containers and corrupt
+bitstreams must raise clean errors, never crash or read out of bounds.
+(The service decodes untrusted uploads — reference webapp.py:169+.)"""
+import numpy as np
+import pytest
+
+from sic_tpu.container import pack_c2df, unpack_c2df
+from sic_tpu.entropy import EntropyCoder, build_gaussian_tables
+
+
+def test_unpack_rejects_garbage():
+    with pytest.raises(ValueError):
+        unpack_c2df(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(Exception):
+        unpack_c2df(b"C2DF")  # truncated after magic
+
+
+def test_unpack_truncated_blob():
+    blob = pack_c2df({"a": b"xyz", "n": 7}, {"version": 2})
+    for cut in (5, len(blob) // 2, len(blob) - 1):
+        with pytest.raises(Exception):
+            unpack_c2df(blob[:cut])
+
+
+@pytest.fixture(scope="module")
+def coder():
+    t = build_gaussian_tables("gaussian")
+    c = EntropyCoder(1)
+    g = c.add_cdf(t.quantized_cdf, t.cdf_length, t.offset)
+    return c, g
+
+
+def test_decoder_rejects_malformed_streams(coder):
+    c, g = coder
+    # empty / sub-minimum streams
+    for bad in (b"", b"\x01", b"\x01\x00\x00"):
+        with pytest.raises(ValueError):
+            c.set_stream(bad)
+    # multi-substream header sizes exceeding the buffer
+    with pytest.raises(ValueError):
+        c.set_stream(bytes([0x11, 0xFF, 0xFF]) + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        c.set_stream(bytes([0x71]) + b"\x00" * 4)  # 8 streams, no headers
+
+
+def test_decoder_survives_corrupt_payload(coder):
+    """Bit-flipped payloads decode to garbage symbols, not crashes."""
+    c, g = coder
+    rng = np.random.default_rng(0)
+    sym = rng.integers(-5, 6, size=512).astype(np.int16)
+    idx = rng.integers(0, 256, size=512).astype(np.int16)
+    c.reset()
+    c.encode_with_indexes(sym, idx, g)
+    c.flush()
+    stream = bytearray(c.get_encoded_stream())
+    for i in range(1, len(stream), 7):
+        stream[i] ^= 0xA5
+    c.set_stream(bytes(stream))
+    out = c.decode_stream(idx, g)          # must terminate cleanly
+    assert out.shape == (512,)
+
+    # truncated payload (valid header) also decodes without crashing
+    c.set_stream(bytes(stream[: max(5, len(stream) // 3)]))
+    out = c.decode_stream(idx, g)
+    assert out.shape == (512,)
+
+
+def test_service_rejects_bad_c2df_upload():
+    """HTTP 500 with a clean error, no server crash."""
+    import threading
+    import urllib.request
+
+    from tests.test_cli import FIXTURE_CFG
+    from tests.test_service import _multipart
+    from sic_tpu.service import ServiceState, make_server
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as root:
+        state = ServiceState(base_config=FIXTURE_CFG, index_dir=root,
+                             media_root=root, preview_cache=root + "/p",
+                             work_dir=root + "/tmp")
+        srv = make_server(state, host="127.0.0.1", port=0)
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            body, ctype = _multipart("file", "evil.c2df", b"C2DF" + b"\xff" * 50)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/decompress", data=body,
+                method="POST", headers={"Content-Type": ctype})
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=300)
+            assert e.value.code == 500
+        finally:
+            srv.shutdown()
