@@ -254,6 +254,52 @@ class CodecRuntime:
             "z_indices_shape": tuple(np.asarray(z_indices).shape),
         }
 
+    def encode_only_batched(self, x, timer=None) -> list:
+        """Batched encode: ONE device pass + ONE fetch for B images, then B
+        independent per-image bitstreams (decodable one by one with
+        :meth:`decode_only`).  The throughput path for corpus indexing —
+        host round trips amortize across the batch."""
+        from ..utils.profiling import timed_stage
+
+        B, H, W, _ = x.shape
+        x01 = jnp.asarray(x) * 0.5 + 0.5
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+            x01 = shard_batch(x01, self.mesh)
+        with timed_stage(timer, "encode_device"):
+            z_indices, h, _ = self._encode(self.params, x01)
+            packed_dev, _ = self.h_coder.compress_plan(h, q_idx=0)
+        stack_shape = (H // self.spec.tile_px, W // self.spec.tile_px)
+        n_tiles = stack_shape[0] * stack_shape[1]
+
+        with timed_stage(timer, "fetch"):
+            z_np, packed = jax.device_get((z_indices, packed_dev))
+
+        results = []
+        feat_shape_1 = (1, h.shape[1], h.shape[2], h.shape[3])
+        for b in range(B):
+            with timed_stage(timer, "h_rans"):
+                h_stream = self.h_coder.encode_packed(
+                    packed[:, :, b:b + 1])
+            with timed_stage(timer, "z_rans"), self._z_lock:
+                idx_np = z_np[b * n_tiles:(b + 1) * n_tiles].reshape(-1)
+                self.z_coder.reset()
+                self.z_coder.encode_with_indexes(
+                    idx_np.astype(np.int32), np.zeros(idx_np.size, np.int16),
+                    self.z_cdf_group)
+                self.z_coder.flush()
+                z_stream = self.z_coder.get_encoded_stream()
+            results.append({
+                "z_bit_stream": z_stream,
+                "h_bit_stream": h_stream,
+                "img_shape": (H, W),
+                "feat_shape": feat_shape_1,
+                "stack_shape": stack_shape,
+                "token_length": int(idx_np.size),
+                "z_indices_shape": (n_tiles, z_np.shape[1]),
+            })
+        return results
+
     def decode_only(self, z_bit_stream, h_bit_stream, img_shape, feat_shape,
                     stack_shape, token_length, z_indices_shape,
                     timer=None, **_ignored) -> jax.Array:

@@ -84,3 +84,21 @@ def test_padding_and_crop():
     x = jnp.ones((1, 250, 251, 3))
     xp = pad_replicate(x, (l, r, t, b))
     assert xp.shape == (1, 256, 256, 3)
+
+
+def test_batched_encode_matches_per_image(tiny_codec):
+    """encode_only_batched must produce byte-identical per-image streams to
+    one-at-a-time encode_only, and each must decode independently."""
+    _, params = tiny_codec
+    rt = CodecRuntime(TINY, params)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (3, 256, 256, 3), minval=-1.0)
+
+    batched = rt.encode_only_batched(x)
+    assert len(batched) == 3
+    for b in range(3):
+        single = rt.encode_only(x[b:b + 1])
+        assert batched[b]["h_bit_stream"] == single["h_bit_stream"]
+        assert batched[b]["z_bit_stream"] == single["z_bit_stream"]
+        x_hat_b = rt.decode_only(**batched[b])
+        x_hat_s = rt.decode_only(**single)
+        np.testing.assert_array_equal(np.asarray(x_hat_b), np.asarray(x_hat_s))
