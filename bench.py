@@ -48,14 +48,22 @@ def run(rt):
         x_hat, bpp, _ = rt.encode_decode(images[0], (SIZE, SIZE))
     jax.block_until_ready(x_hat)
 
-    # sequential round-trips (the tunnel in this environment serializes
-    # transfers, so thread-pipelining via encode_decode_many gains nothing
-    # here; on locally-attached TPUs prefer encode_decode_many)
+    xb = jnp.concatenate(images, axis=0)
+    for enc in rt.encode_only_batched(xb):       # warm the batched path
+        pass
+
+    # production pipeline shape: batched encode (one device pass + one
+    # fetch for all images, per-image bitstreams), then per-image decode
     t0 = time.perf_counter()
-    for x in images:
-        x_hat, bpp, _ = rt.encode_decode(x, (SIZE, SIZE))
+    encs = rt.encode_only_batched(xb)
+    for enc in encs:
+        x_hat = rt.decode_only(**enc)
     jax.block_until_ready(x_hat)
     dt = time.perf_counter() - t0
+
+    h, w = SIZE, SIZE
+    bits = len(encs[-1]["z_bit_stream"]) * 8 + len(encs[-1]["h_bit_stream"]) * 8
+    bpp = {"total_bpp": bits / (h * w)}
     return ITERS / dt, bpp
 
 

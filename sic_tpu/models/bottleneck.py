@@ -130,10 +130,12 @@ class BottleneckCoder:
     def __init__(self, module: CompressiveBottleneck, params,
                  force_zero_thres: Optional[float] = 0.12,
                  stream_part: int = 1):
+        import queue
         import threading
         self.module = module
         self.params = params
         self.force_zero_thres = force_zero_thres
+        self.stream_part = stream_part
         self.tables = build_gaussian_tables("gaussian")
         self.coder = EntropyCoder(stream_part)
         # the native coder is stateful; guard it so pipelined callers can
@@ -141,6 +143,11 @@ class BottleneckCoder:
         self.lock = threading.Lock()
         self.cdf_group = self.coder.add_cdf(
             self.tables.quantized_cdf, self.tables.cdf_length, self.tables.offset)
+        # decoder pool: concurrent decompress() calls each check out their
+        # own stateful decoder, so one request's rANS overlaps another's
+        # device round trips
+        self._dec_pool: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._dec_pool.put((self.coder, self.cdf_group))
 
         apply = module.apply
 
@@ -216,6 +223,18 @@ class BottleneckCoder:
         self._recon_step = _recon_step
         self._pack_planes = _pack_planes
 
+    def _checkout_decoder(self):
+        try:
+            return self._dec_pool.get_nowait()
+        except Exception:
+            c = EntropyCoder(self.stream_part)
+            g = c.add_cdf(self.tables.quantized_cdf, self.tables.cdf_length,
+                          self.tables.offset)
+            return (c, g)
+
+    def _checkin_decoder(self, item):
+        self._dec_pool.put(item)
+
     # -- public API ---------------------------------------------------------
     def forward(self, y, img_hw, q_idx: int = 0) -> Tuple[jax.Array, Dict[str, Any]]:
         fn = functools.partial(self.module.apply, self.params, training=False,
@@ -274,8 +293,9 @@ class BottleneckCoder:
         """feat_shape: (B, H, W, quant_dim) of the transformed latent."""
         p = self.params
         B, H, W, C = feat_shape
-        with self.lock:
-            self.coder.set_stream(bit_stream)
+        coder, group = self._checkout_decoder()
+        try:
+            coder.set_stream(bit_stream)
             quant_step, scales, means, common, idx = self._prior(
                 p, (B, H, W), q_idx)
 
@@ -285,11 +305,13 @@ class BottleneckCoder:
                     scales, means, idx = self._spatial_step(
                         p, step, y_hat_so_far, common)
                 idx_np = np.asarray(idx)             # sync: need symbols
-                sym_np = self.coder.decode_stream(idx_np, self.cdf_group)
+                sym_np = coder.decode_stream(idx_np, group)
                 sym_plane = jnp.asarray(sym_np.reshape(idx_np.shape),
                                         dtype=jnp.int32)
                 y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
                                                                means, step)
+        finally:
+            self._checkin_decoder((coder, group))
 
         return self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
 

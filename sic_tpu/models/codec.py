@@ -321,6 +321,13 @@ class CodecRuntime:
         with timed_stage(timer, "decode_device"):
             return self._decode(self.params, z_indices, h_hat, tuple(stack_shape))
 
+    def decode_only_many(self, enc_results, workers: int = 4) -> list:
+        """Concurrent decodes: each request checks out its own rANS decoder,
+        so one stream's host coding overlaps another's device round trips."""
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(lambda e: self.decode_only(**e), enc_results))
+
     def encode_decode_many(self, images, original_shapes=None,
                            workers: int = 2):
         """Thread-pipelined round-trips over a list of images: one image's

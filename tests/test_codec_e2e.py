@@ -102,3 +102,14 @@ def test_batched_encode_matches_per_image(tiny_codec):
         x_hat_b = rt.decode_only(**batched[b])
         x_hat_s = rt.decode_only(**single)
         np.testing.assert_array_equal(np.asarray(x_hat_b), np.asarray(x_hat_s))
+
+
+def test_concurrent_decode_matches_sequential(tiny_codec):
+    _, params = tiny_codec
+    rt = CodecRuntime(TINY, params)
+    x = jax.random.uniform(jax.random.PRNGKey(11), (4, 256, 256, 3), minval=-1.0)
+    encs = rt.encode_only_batched(x)
+    seq = [np.asarray(rt.decode_only(**e)) for e in encs]
+    par = rt.decode_only_many(encs, workers=4)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a, np.asarray(b))
