@@ -164,6 +164,30 @@ class ServiceState:
         from ..cli.search import do_search
         return do_search(q, self.index(index_dir), topk=topk)
 
+    def media_roots(self) -> Tuple[Path, ...]:
+        """Directories ``GET /file`` is allowed to serve from."""
+        return (self.media_root, self.index_dir, self.index_dir.parent,
+                self.preview_cache)
+
+    def path_in_roots(self, p: Path) -> bool:
+        """True iff the resolved path lives under one of the media roots.
+
+        The reference serves any image/.c2df path verbatim (webapp.py:67-74)
+        — an arbitrary-file read.  The rebuild gates on containment instead.
+        """
+        try:
+            rp = p.resolve()
+        except Exception:
+            return False
+        for root in self.media_roots():
+            try:
+                rr = root.resolve()
+            except Exception:
+                continue
+            if rp == rr or rr in rp.parents:
+                return True
+        return False
+
     # -- previews (reference: webapp.py:76-112) ---------------------------------
     def resolve_media_path(self, raw: str) -> Optional[Path]:
         try:
@@ -274,6 +298,9 @@ def make_handler(state: ServiceState):
                     return
                 if p.suffix.lower() not in IMAGE_EXTS and p.suffix.lower() != ".c2df":
                     self._error(403, "Forbidden file type")
+                    return
+                if not state.path_in_roots(p):
+                    self._error(403, "Path outside media roots")
                     return
                 self._send(200, p.read_bytes(),
                            _MIME.get(p.suffix.lower(), "application/octet-stream"),

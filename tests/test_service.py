@@ -106,6 +106,18 @@ def test_file_endpoint_gating(server):
     assert e.value.code == 403
 
 
+def test_file_endpoint_rejects_paths_outside_media_roots(server, tmp_path):
+    """An allowed *file type* outside every media root must still 403 —
+    the reference serves any image path verbatim (webapp.py:67-74)."""
+    base, _, _ = server
+    outside = tmp_path / "outside.png"
+    outside.write_bytes(b"\x89PNG\r\n\x1a\n" + b"0" * 16)
+    req = urllib.request.Request(f"{base}/file?path={outside}")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 403
+
+
 def test_search_text_endpoint(server):
     base, _, _ = server
     body = json.dumps({"text": "an apple", "topk": 2}).encode()
