@@ -1,0 +1,214 @@
+"""FULL-CODEC composition oracle: the reference torch ``Hybrid_Codec`` +
+``FeatMerge`` + taming ``VQModel`` assembled with the exact reference
+state-dict key layout (``hybrid_codec.* / prior_fusion.* / vqgan.*``,
+reference: codec_sq_fixbpp.py:442-491), ported in one shot through
+``port.port_codec_state_dict``, and compared end-to-end against our flax
+``Codec`` at small scale.
+
+This is the proof that a real reference checkpoint reproduces here: it
+covers insert-position wiring, FeatMerge fusion, the bottleneck in context,
+the soft codebook mixture (codec_sq_fixbpp.py:658-663) and the VQGAN pixel
+decode — not just the leaf modules of tests/test_port_parity.py.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from conftest import requires_reference
+
+pytestmark = requires_reference()
+
+sys.path.insert(0, "/root/reference/src")
+
+
+def _stub(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _install_stubs():
+    """The reference model file imports heavy deps that are absent here and
+    unused on the paths this test drives: stub just enough to import."""
+    tv = _stub("torchvision")
+    tv.models = _stub("torchvision.models")
+    _stub("torchac")
+    _stub("pytorch_msssim",
+          MS_SSIM=type("MS_SSIM", (), {
+              "__init__": lambda self, *a, **k: None}))
+    _stub("lpips", LPIPS=type("LPIPS", (), {}))
+    _stub("omegaconf", OmegaConf=type("OmegaConf", (), {}))
+    _stub("requests")
+    pl = _stub("pytorch_lightning", LightningModule=torch.nn.Module)
+    util = _stub("pytorch_lightning.utilities",
+                 rank_zero_only=lambda fn: fn)
+    pl.utilities = util
+
+
+_install_stubs()
+
+from models.codec_sq_fixbpp import FeatMerge as TorchFeatMerge  # noqa: E402
+from models.codec_sq_fixbpp import Hybrid_Codec as TorchHybridCodec  # noqa: E402
+from taming.models.vqgan import VQModel as TorchVQModel  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from sic_tpu import port  # noqa: E402
+from sic_tpu.models import Codec, CodecSpec, TiTokSpec, VQGANSpec  # noqa: E402
+
+
+class _NS:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+# small-scale topology (reference ViT "small": width 512, 8 layers)
+INSERT_POS = (1, 5)
+FEAT_W, QUANT_DIM, N_ATTN = 64, 16, 1
+N_EMBED = 32  # VQGAN codebook
+TITOK = dict(num_latent_tokens=4, token_size=8, codebook_size=32)
+DDCONFIG = dict(ch=32, ch_mult=[1, 1, 2, 2, 4], num_res_blocks=1,
+                attn_resolutions=[16], in_channels=3, out_ch=3,
+                resolution=256, z_channels=32, dropout=0.0, double_z=False)
+
+
+def _torch_models():
+    cfg = _NS(model=_NS(vq_model=_NS(
+                  vit_enc_model_size="small", vit_dec_model_size="small",
+                  vit_enc_patch_size=16, vit_dec_patch_size=16,
+                  commitment_cost=0.25, use_l2_norm=True, **TITOK)),
+              dataset=_NS(preprocessing=_NS(crop_size=256)))
+    torch.manual_seed(0)
+    hc = TorchHybridCodec(cfg, list(INSERT_POS), list(INSERT_POS), FEAT_W,
+                          QUANT_DIM, N_ATTN).eval()
+    # open the ControlNet-style zero gates so the cross-attn exchange and
+    # detail branch actually influence the outputs (they are zeroed at init,
+    # codec_sq_fixbpp.py:331-332)
+    with torch.no_grad():
+        for name, p in hc.named_parameters():
+            if "zero" in name:
+                p.normal_(0, 0.02)
+    fm = TorchFeatMerge(hc.decoder.width, FEAT_W, n_embed=N_EMBED).eval()
+    vq = TorchVQModel(DDCONFIG, {"target": "torch.nn.Identity"},
+                      n_embed=N_EMBED, embed_dim=DDCONFIG["z_channels"],
+                      sane_index_shape=True).eval()
+    return hc, fm, vq
+
+
+def _our_spec() -> CodecSpec:
+    return CodecSpec(
+        titok=TiTokSpec(model_size="small", **TITOK),
+        vqgan=VQGANSpec(ch=32, ch_mult=(1, 1, 2, 2, 4), num_res_blocks=1,
+                        attn_resolutions=(16,), in_channels=3, out_ch=3,
+                        z_channels=32, embed_dim=32, n_embed=N_EMBED,
+                        resolution=256),
+        feat_width=FEAT_W, quant_dim=QUANT_DIM,
+        insert_pos_enc=INSERT_POS, insert_pos_dec=INSERT_POS,
+        num_attns=N_ATTN, merge_inner_width=1024)
+
+
+@pytest.fixture(scope="module")
+def ported():
+    hc, fm, vq = _torch_models()
+    sd = {}
+    for prefix, mod in (("hybrid_codec", hc), ("prior_fusion", fm),
+                        ("vqgan", vq)):
+        sd.update({f"{prefix}.{k}": v.detach().numpy()
+                   for k, v in mod.state_dict().items()})
+    spec = _our_spec()
+    variables = port.port_codec_state_dict(sd, spec)
+    return hc, fm, vq, spec, variables
+
+
+def test_full_codec_forward_parity(ported):
+    """encode -> bottleneck -> decode -> FeatMerge -> soft mixture -> VQGAN
+    pixel decode, reference vs ported, at every advertised interface."""
+    hc, fm, vq, spec, variables = ported
+    torch.manual_seed(1)
+    xt = torch.rand(1, 3, 256, 256) * 2 - 1
+
+    with torch.no_grad():
+        out = hc(xt * 0.5 + 0.5)
+        ref_logits = fm(out["titok_hat"], out["feat_hat"])
+        ref_latent = torch.einsum("nchw,cd->ndhw", ref_logits.softmax(1),
+                                  vq.quantize.embedding.weight)
+        ref_xhat = vq.decoder(vq.post_quant_conv(ref_latent))
+
+    x = jnp.asarray(xt.permute(0, 2, 3, 1).numpy())
+    model = Codec(spec)
+
+    # hybrid stage: z indices, coded detail latent, reconstruction inputs
+    enc = model.apply(variables, x * 0.5 + 0.5,
+                      method=lambda m, v: m.hybrid_codec(v))
+    ref_z_idx = out["z_result_dict"]["min_encoding_indices"].numpy().reshape(-1)
+    np.testing.assert_array_equal(
+        np.asarray(enc["z_result_dict"]["min_encoding_indices"]).reshape(-1),
+        ref_z_idx)
+    np.testing.assert_allclose(
+        np.asarray(enc["h_quantized"]),
+        out["h_quantized"].permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(enc["titok_hat"]),
+        out["titok_hat"].permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(enc["feat_hat"]),
+        out["feat_hat"].permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        float(enc["h_result_dict"]["bpp_direct"]),
+        float(out["h_result_dict"]["bpp_direct"]), rtol=1e-3, atol=1e-5)
+
+    # full forward: fused logits, soft latent, decoded pixels
+    full = model.apply(variables, x, need_full_decode=True)
+    np.testing.assert_allclose(
+        np.asarray(full["logits"]),
+        ref_logits.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(full["vqgan_latent"]),
+        ref_latent.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(full["x_hat"]),
+        ref_xhat.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=5e-3)
+
+
+def test_full_codec_deployment_stage_parity(ported):
+    """The deployment path (encode_stage indices -> decode_stage image) must
+    agree with the reference decode_only composition
+    (codec_sq_fixbpp.py:881-900) on the same ported weights."""
+    hc, fm, vq, spec, variables = ported
+    torch.manual_seed(2)
+    xt = torch.rand(1, 3, 256, 256) * 2 - 1
+    x01 = jnp.asarray(xt.permute(0, 2, 3, 1).numpy()) * 0.5 + 0.5
+    model = Codec(spec)
+
+    z_idx, h, stack_shape = model.apply(variables, x01,
+                                        method=Codec.encode_stage)
+
+    with torch.no_grad():
+        out = hc(xt * 0.5 + 0.5)
+        titok_hat, feat_hat = out["titok_hat"], out["feat_hat"]
+        ref_logits = fm(titok_hat, feat_hat)
+        ref_latent = torch.einsum("nchw,cd->ndhw", ref_logits.softmax(1),
+                                  vq.quantize.embedding.weight)
+        ref_xhat = vq.decoder(vq.post_quant_conv(ref_latent)).clamp(-1, 1)
+    ref_idx = out["z_result_dict"]["min_encoding_indices"].numpy().reshape(-1)
+    np.testing.assert_array_equal(np.asarray(z_idx).reshape(-1), ref_idx)
+
+    # decode from the coded detail latent (bit-exact vs forward by the
+    # bottleneck's own invariant) + the decoded z tokens
+    h_hat = model.apply(
+        variables, h, (256, 256),
+        method=lambda m, hh, hw: m.hybrid_codec.quantize_feat(hh, hw, 0)[0])
+    x_hat = model.apply(variables, z_idx, h_hat,
+                        (int(stack_shape[0]), int(stack_shape[1])),
+                        method=Codec.decode_stage)
+    np.testing.assert_allclose(np.asarray(x_hat),
+                               ref_xhat.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-3, atol=5e-3)
