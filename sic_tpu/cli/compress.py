@@ -61,6 +61,9 @@ def compress_dir(rt, clip_codec, dataset_dir, save_dir, tile_px: int = 256,
                 "quant_type": clip_meta.get("quant", "u8_symmetric_-1_1"),
                 "image_hw": [int(H), int(W)],
                 "padding": [int(p) for p in pads],
+                # wire format of the semantic stream; absent in
+                # reference-produced files (which are torchac-coded)
+                "z_coder": rt.z_format,
             }
             out_path = bit_dir / f"{path.stem}.c2df"
             out_path.write_bytes(pack_c2df(enc_result, header))

@@ -23,7 +23,10 @@ def decompress_dir(rt, dataset_dir, save_dir):
     for path in progress(files, desc="decompress"):
         enc_result, header = unpack_c2df(path)
         enc_result = sanitize_enc_result_types(enc_result)
-        x_hat = rt.decode_only(**enc_result)
+        # files without the marker predate this framework: they are
+        # reference-produced and torchac-coded (codec_sq_fixbpp.py:861-864)
+        x_hat = rt.decode_only(**enc_result,
+                               z_coder=header.get("z_coder", "torchac"))
         img = np.asarray(x_hat[0])
         l, r, t, b = header.get("padding", [0, 0, 0, 0])
         H, W = img.shape[:2]

@@ -164,11 +164,17 @@ class CodecRuntime:
     """
 
     def __init__(self, spec: CodecSpec, params, dtype=None, stream_part: int = 1,
-                 mesh=None):
+                 mesh=None, z_format: str = "rans"):
         """``mesh``: optional ``jax.sharding.Mesh`` — inputs get batch/tile
         sharding and params are replicated, so one process drives all chips
         (the reference's NCCL-DDP inference counterpart,
-        reference: compress.py:33-55)."""
+        reference: compress.py:33-55).
+
+        ``z_format``: wire format of the semantic-token stream — ``"rans"``
+        (native; one coder for both streams) or ``"torchac"`` (the
+        reference's exact format, codec_sq_fixbpp.py:861-864).  Decode
+        always accepts either via the ``z_coder`` argument regardless of
+        this setting."""
         self.spec = spec
         self.model = Codec(spec, dtype)
         self.mesh = mesh
@@ -212,6 +218,32 @@ class CodecRuntime:
         self.z_cdf_group = self.z_coder.add_cdf(
             cdf, np.array([K + 1], np.int32), np.array([0], np.int32))
 
+        # reference-format compat coder (stateless -> no lock needed)
+        from ..entropy.torchac_compat import UniformTorchacCodec
+        assert z_format in ("rans", "torchac"), z_format
+        self.z_format = z_format
+        self.z_torchac = UniformTorchacCodec(K)
+
+    def _encode_z(self, idx_np: np.ndarray) -> bytes:
+        if self.z_format == "torchac":
+            return self.z_torchac.encode(idx_np)
+        with self._z_lock:
+            self.z_coder.reset()
+            self.z_coder.encode_with_indexes(
+                idx_np.astype(np.int32), np.zeros(idx_np.size, np.int16),
+                self.z_cdf_group)
+            self.z_coder.flush()
+            return self.z_coder.get_encoded_stream()
+
+    def _decode_z(self, z_bit_stream: bytes, token_length: int,
+                  z_coder: str) -> np.ndarray:
+        if z_coder == "torchac":
+            return self.z_torchac.decode(z_bit_stream, int(token_length))
+        with self._z_lock:
+            self.z_coder.set_stream(z_bit_stream)
+            return self.z_coder.decode_stream(
+                np.zeros(int(token_length), np.int16), self.z_cdf_group)
+
     # -- API parity with the reference deployment methods ---------------------
     def encode_only(self, x, timer=None) -> Dict[str, Any]:
         """x: (B, H, W, 3) in [-1, 1], H/W multiples of tile_px."""
@@ -235,14 +267,9 @@ class CodecRuntime:
         with timed_stage(timer, "h_rans"):
             h_bit_stream = self.h_coder.encode_packed(packed)
 
-        with timed_stage(timer, "z_rans"), self._z_lock:
+        with timed_stage(timer, "z_rans"):
             idx_np = z_np.reshape(-1)
-            self.z_coder.reset()
-            self.z_coder.encode_with_indexes(
-                idx_np.astype(np.int32), np.zeros(idx_np.size, np.int16),
-                self.z_cdf_group)
-            self.z_coder.flush()
-            z_bit_stream = self.z_coder.get_encoded_stream()
+            z_bit_stream = self._encode_z(idx_np)
 
         return {
             "z_bit_stream": z_bit_stream,
@@ -281,14 +308,9 @@ class CodecRuntime:
             with timed_stage(timer, "h_rans"):
                 h_stream = self.h_coder.encode_packed(
                     packed[:, :, b:b + 1])
-            with timed_stage(timer, "z_rans"), self._z_lock:
+            with timed_stage(timer, "z_rans"):
                 idx_np = z_np[b * n_tiles:(b + 1) * n_tiles].reshape(-1)
-                self.z_coder.reset()
-                self.z_coder.encode_with_indexes(
-                    idx_np.astype(np.int32), np.zeros(idx_np.size, np.int16),
-                    self.z_cdf_group)
-                self.z_coder.flush()
-                z_stream = self.z_coder.get_encoded_stream()
+                z_stream = self._encode_z(idx_np)
             results.append({
                 "z_bit_stream": z_stream,
                 "h_bit_stream": h_stream,
@@ -302,19 +324,30 @@ class CodecRuntime:
 
     def decode_only(self, z_bit_stream, h_bit_stream, img_shape, feat_shape,
                     stack_shape, token_length, z_indices_shape,
-                    timer=None, **_ignored) -> jax.Array:
-        """Returns x_hat (B, H, W, 3) clamped to [-1, 1]."""
+                    timer=None, z_coder: str = "rans", **_ignored) -> jax.Array:
+        """Returns x_hat (B, H, W, 3) clamped to [-1, 1].
+
+        ``z_coder``: wire format of ``z_bit_stream`` — ``"rans"`` (ours) or
+        ``"torchac"`` (reference-produced ``.c2df``)."""
         from ..utils.profiling import timed_stage
 
-        with timed_stage(timer, "z_rans"), self._z_lock:
-            self.z_coder.set_stream(z_bit_stream)
-            sym = self.z_coder.decode_stream(
-                np.zeros(int(token_length), np.int16), self.z_cdf_group)
-            z_indices = jnp.asarray(sym.astype(np.int32).reshape(z_indices_shape))
+        # reference files store torch z_quantized.shape (BT, token_size, 1,
+        # n_latent) here (codec_sq_fixbpp.py:860); ours is (BT, n_latent)
+        zshape = tuple(int(s) for s in z_indices_shape)
+        if len(zshape) == 4:
+            zshape = (zshape[0], zshape[3])
+
+        with timed_stage(timer, "z_rans"):
+            sym = self._decode_z(z_bit_stream, token_length, z_coder)
+            z_indices = jnp.asarray(sym.astype(np.int32).reshape(zshape))
 
         # feat_shape carries the pre-transform detail feature (B, H/32, W/32,
         # feat_width); the coded latent has quant_dim channels at the same grid.
-        B, Hf, Wf, _ = tuple(feat_shape)
+        # Reference files store torch NCHW (codec_sq_fixbpp.py:867).
+        fs = tuple(int(s) for s in feat_shape)
+        if fs[1] == self.spec.feat_width and fs[-1] != self.spec.feat_width:
+            fs = (fs[0], fs[2], fs[3], fs[1])
+        B, Hf, Wf, _ = fs
         latent_shape = (B, Hf, Wf, self.spec.quant_dim)
         with timed_stage(timer, "h_rans"):
             h_hat = self.h_coder.decompress(h_bit_stream, latent_shape, q_idx=0)
