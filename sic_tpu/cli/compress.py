@@ -4,9 +4,14 @@ Same surface and output layout as the reference driver
 (reference: src/compress.py:203-333): per image pad-to-256 (replicate),
 ``encode_only``, CLIP embed + u8/zstd pack, ``pack_c2df`` into
 ``save_dir/bitstreams``, raw clip vecs into ``save_dir/clip_vecs``, and a
-flat-IP index into ``save_dir/faiss``.  The torch DDP rank machinery
-(compress.py:33-55) is replaced by jit-internal batch sharding; one process
-drives the whole mesh.
+flat-IP index into ``save_dir/faiss``.
+
+Parallelism is two-level: within one host, jit-internal batch sharding
+drives every local chip from a single process (replacing per-rank DDP model
+replicas, compress.py:33-55); across hosts, torchrun-style WORLD_SIZE/RANK
+sharding splits the input list, every process writes its shard to the
+shared ``save_dir``, and host 0 merges the index after a barrier
+(compress.py:206-246, 293-306 — see sic_tpu.parallel.multihost).
 """
 from __future__ import annotations
 
@@ -24,11 +29,44 @@ from ..retrieval import VectorIndex
 from ._common import init_func, load_clip_codec, load_runtime, progress
 
 
+def build_index_from_saved(save_dir, model_id: str = "") -> int:
+    """Host-0 epilogue: rebuild the flat-IP index from every clip vec saved
+    under ``save_dir`` (all ranks' shards) — the reference's rank-0 merge,
+    scan order sorted-by-name (reference: compress.py:295-306)."""
+    save_dir = Path(save_dir)
+    bit_dir, clip_dir, index_dir = (save_dir / "bitstreams",
+                                    save_dir / "clip_vecs",
+                                    save_dir / "faiss")
+    npys = sorted(clip_dir.glob("*.npy"))
+    if not npys:
+        return 0
+    db = None
+    count = 0
+    for npy in npys:
+        doc_id = bit_dir / f"{npy.stem}.c2df"
+        if not doc_id.exists():
+            continue
+        vec = np.load(npy)
+        if db is None:
+            db = VectorIndex(dim=int(vec.shape[0]))
+        db.add(vec, str(doc_id))
+        count += 1
+    if db is not None:
+        db.persist(index_dir, meta={"dim": db.dim, "metric": "ip",
+                                    "model_id": model_id})
+    return count
+
+
 def compress_dir(rt, clip_codec, dataset_dir, save_dir, tile_px: int = 256,
-                 batch_size: int = 8):
+                 batch_size: int = 8, shard=(0, 1), build_index: bool = True):
     """Images are bucketed by padded shape and encoded in device batches
     (one pass + one fetch per batch, per-image bitstreams) — the TPU
-    counterpart of the reference's one-image-per-step DDP loop."""
+    counterpart of the reference's one-image-per-step DDP loop.
+
+    ``shard=(rank, world)`` processes every ``world``-th image starting at
+    ``rank`` (the DistributedSampler split); pass ``build_index=False`` on
+    multi-process runs and let host 0 call :func:`build_index_from_saved`
+    after the barrier."""
     save_dir = Path(save_dir)
     bit_dir = save_dir / "bitstreams"
     clip_dir = save_dir / "clip_vecs"
@@ -37,7 +75,9 @@ def compress_dir(rt, clip_codec, dataset_dir, save_dir, tile_px: int = 256,
         d.mkdir(parents=True, exist_ok=True)
 
     import jax.numpy as jnp
-    paths = list_images(dataset_dir)
+
+    from ..parallel.multihost import shard_list
+    paths = shard_list(list_images(dataset_dir), *shard)
     records = []
     buckets = {}
 
@@ -82,12 +122,8 @@ def compress_dir(rt, clip_codec, dataset_dir, save_dir, tile_px: int = 256,
     for shape in list(buckets):
         flush(shape)
 
-    if records:  # rank-0 epilogue counterpart (reference: compress.py:295-306)
-        db = VectorIndex(dim=records[0][0].shape[0])
-        for vec, doc_id in records:
-            db.add(vec, doc_id)
-        db.persist(index_dir, meta={"dim": db.dim, "metric": "ip",
-                                    "model_id": clip_codec.model_id})
+    if build_index:  # single-process epilogue; multi-process defers to host 0
+        build_index_from_saved(save_dir, model_id=clip_codec.model_id)
     return len(records)
 
 
@@ -106,15 +142,33 @@ def main(argv=None):
     parser.add_argument("--gpu_idx", type=int, default=0,
                         help="accepted for surface parity; devices are "
                              "managed by the JAX mesh")
+    parser.add_argument("--world_size", type=int, default=None,
+                        help="number of processes (default: WORLD_SIZE env)")
+    parser.add_argument("--rank", type=int, default=None,
+                        help="this process's rank (default: RANK env)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 "
+                             "(default: MASTER_ADDR:MASTER_PORT env)")
     args = parser.parse_args(argv)
+
+    from ..parallel.multihost import barrier, setup_distributed
+    rank, world = setup_distributed(args.rank, args.world_size,
+                                    args.coordinator)
 
     t0 = time.time()
     rt, _cfg = load_runtime(args.base_config, args.ckpt_path)
     clip_codec = load_clip_codec(args.clip_ckpt, args.bpe_path)
     n = compress_dir(rt, clip_codec, args.dataset_dir, args.save_dir,
-                     batch_size=args.batch_size)
-    print(f"[OK] compressed {n} images in {time.time() - t0:.1f}s "
-          f"-> {args.save_dir}", file=sys.stderr)
+                     batch_size=args.batch_size, shard=(rank, world),
+                     build_index=(world == 1))
+    if world > 1:
+        barrier("compress_done")      # all shards on disk
+        if rank == 0:
+            build_index_from_saved(args.save_dir,
+                                   model_id=clip_codec.model_id)
+        barrier("index_done")         # keep ranks alive until the merge lands
+    print(f"[OK] rank {rank}/{world} compressed {n} images in "
+          f"{time.time() - t0:.1f}s -> {args.save_dir}", file=sys.stderr)
 
 
 if __name__ == "__main__":
