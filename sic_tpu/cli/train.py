@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--ckpt_dir", type=str, default="./ckpts")
+    ap.add_argument("--log_dir", type=str, default=None,
+                    help="write TensorBoard event files + scalars.jsonl "
+                         "here (reference: Lightning's TB logger)")
     ap.add_argument("--resume", type=str, default=None,
                     help="orbax training-state checkpoint to resume")
     ap.add_argument("--reset_schedule", action="store_true",
@@ -100,9 +103,17 @@ def main(argv=None):
                 lmbda_idx=state.lmbda_idx, lmbda_list=state.lmbda_list)
         state = resumed
 
+    writer = None
+    if args.log_dir:
+        from ..utils.tb_writer import MetricsWriter
+        writer = MetricsWriter(args.log_dir)
+        tb_log = writer.as_log_fn()
+
     def log_fn(d):
         print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
                           for k, v in d.items()}), file=sys.stderr, flush=True)
+        if writer is not None:
+            tb_log(d)
 
     epoch0 = [int(state.epoch_for_strategy)]
     trainer = Trainer(codec, state, steps, strategy,
@@ -116,6 +127,8 @@ def main(argv=None):
         return val_ds.batches(args.batch_size, shuffle=False) if val_ds else iter(())
 
     trainer.fit(train_data, val_data if val_ds else None, epochs=args.epochs)
+    if writer is not None:
+        writer.close()
     print(f"[OK] training done; checkpoints in {args.ckpt_dir}",
           file=sys.stderr)
 
