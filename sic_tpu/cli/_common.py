@@ -37,8 +37,14 @@ def load_spec_and_cfg(base_config: Optional[str]):
 
 
 def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
-                 dtype=None):
-    """Build a CodecRuntime from config + optional checkpoint."""
+                 dtype=None, stream_part: Optional[int] = None):
+    """Build a CodecRuntime from config + optional checkpoint.
+
+    ``stream_part``: rANS substreams per stream (threaded host coding;
+    reference: py_rans.cpp:91-136).  Default 1 keeps exact wire parity with
+    the reference coder config; SIC_STREAM_PART overrides."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -49,13 +55,16 @@ def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
     if dtype is None:
         # bf16 is native on TPU; on CPU it is emulated and ~4x slower
         dtype = None if jax.devices()[0].platform == "cpu" else jnp.bfloat16
+    if stream_part is None:
+        stream_part = int(os.environ.get("SIC_STREAM_PART", "1"))
     if ckpt_path:
         params = load_codec_params(ckpt_path, cfg.spec, dtype=dtype)
     else:
         print("[WARN] no --ckpt_path given; running with random weights",
               file=sys.stderr)
         _, params = init_codec(cfg.spec, jax.random.PRNGKey(0), dtype=dtype)
-    return CodecRuntime(cfg.spec, params, dtype=dtype), cfg
+    return CodecRuntime(cfg.spec, params, dtype=dtype,
+                        stream_part=stream_part), cfg
 
 
 def load_clip_codec(clip_ckpt: Optional[str] = None,

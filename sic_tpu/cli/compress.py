@@ -142,6 +142,8 @@ def main(argv=None):
     parser.add_argument("--gpu_idx", type=int, default=0,
                         help="accepted for surface parity; devices are "
                              "managed by the JAX mesh")
+    parser.add_argument("--stream_part", type=int, default=None,
+                        help="rANS substreams per stream (threaded host coding); default 1 for reference wire parity")
     parser.add_argument("--world_size", type=int, default=None,
                         help="number of processes (default: WORLD_SIZE env)")
     parser.add_argument("--rank", type=int, default=None,
@@ -156,7 +158,8 @@ def main(argv=None):
                                     args.coordinator)
 
     t0 = time.time()
-    rt, _cfg = load_runtime(args.base_config, args.ckpt_path)
+    rt, _cfg = load_runtime(args.base_config, args.ckpt_path,
+                             stream_part=args.stream_part)
     clip_codec = load_clip_codec(args.clip_ckpt, args.bpe_path)
     n = compress_dir(rt, clip_codec, args.dataset_dir, args.save_dir,
                      batch_size=args.batch_size, shard=(rank, world),

@@ -45,10 +45,13 @@ def main(argv=None):
     parser.add_argument("--save_dir", type=str, required=True)
     parser.add_argument("--gpu_idx", type=int, default=0,
                         help="accepted for surface parity")
+    parser.add_argument("--stream_part", type=int, default=None,
+                        help="rANS substreams per stream (threaded host coding); default 1 for reference wire parity")
     args = parser.parse_args(argv)
 
     t0 = time.time()
-    rt, _cfg = load_runtime(args.base_config, args.ckpt_path)
+    rt, _cfg = load_runtime(args.base_config, args.ckpt_path,
+                             stream_part=args.stream_part)
     n = decompress_dir(rt, args.dataset_dir, args.save_dir)
     print(f"[OK] decompressed {n} files in {time.time() - t0:.1f}s "
           f"-> {args.save_dir}", file=sys.stderr)

@@ -315,6 +315,51 @@ class BottleneckCoder:
 
         return self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
 
+    def decompress_batched(self, bit_streams, latent_shape, q_idx: int = 0,
+                           workers: int = 8):
+        """Decode B independent per-image streams with BATCHED device steps:
+        each of the 4 autoregressive steps runs ONE prior eval + ONE
+        index-plane fetch for all B images, and the per-image host rANS
+        decodes fan out on threads.  4 host syncs total instead of 4*B —
+        the device-batching dual of ``CodecRuntime.encode_only_batched``.
+
+        ``latent_shape``: (1, H, W, quant_dim) of each image's coded latent
+        (all streams must share it).  Bit-exact with per-image decode when
+        the encode ran at the same batch size (same compiled functions, same
+        materialized planes)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        p = self.params
+        B = len(bit_streams)
+        _, H, W, C = latent_shape
+        coders = [self._checkout_decoder() for _ in bit_streams]
+        try:
+            for (coder, _g), stream in zip(coders, bit_streams):
+                coder.set_stream(stream)
+            quant_step, scales, means, common, idx = self._prior(
+                p, (B, H, W), q_idx)
+            y_hat_so_far = jnp.zeros((B, H, W, C), dtype=quant_step.dtype)
+            with ThreadPoolExecutor(max_workers=min(workers, B)) as pool:
+                for step in range(4):
+                    if step > 0:
+                        scales, means, idx = self._spatial_step(
+                            p, step, y_hat_so_far, common)
+                    idx_np = np.asarray(idx)          # ONE fetch for all B
+
+                    def _dec(i):
+                        coder, group = coders[i]
+                        return coder.decode_stream(idx_np[i], group)
+
+                    syms = list(pool.map(_dec, range(B)))
+                    sym_plane = jnp.asarray(
+                        np.stack(syms).reshape(idx_np.shape), dtype=jnp.int32)
+                    y_hat_so_far = y_hat_so_far + self._recon_step(
+                        sym_plane, means, step)
+        finally:
+            for item in coders:
+                self._checkin_decoder(item)
+        return self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
+
     def entropy_map(self, y, q_idx: int = 0):
         """Per-element hard-quant bit map (ablation-study helper;
         reference: sq_bottleneck.py:219-232)."""

@@ -204,45 +204,69 @@ class CodecRuntime:
                                        force_zero_thres=spec.force_zero_thres,
                                        stream_part=stream_part)
 
-        import threading
-        self._z_lock = threading.Lock()
+        import queue
+        from concurrent.futures import ThreadPoolExecutor
 
-        # semantic-stream coder: uniform CDF over the TiTok codebook
+        # semantic-stream coders: uniform CDF over the TiTok codebook.
+        # Pooled (like the h-decoder pool) so concurrent requests never
+        # serialize on one stateful native coder.
         K = spec.titok.codebook_size
         precision = 16
         freq = (1 << precision) // K
-        cdf = np.zeros((1, K + 1), np.int32)
-        cdf[0, 1:] = np.cumsum(np.full(K, freq, np.int64))
-        cdf[0, -1] = 1 << precision
-        self.z_coder = EntropyCoder(stream_part)
-        self.z_cdf_group = self.z_coder.add_cdf(
-            cdf, np.array([K + 1], np.int32), np.array([0], np.int32))
+        self._z_cdf = np.zeros((1, K + 1), np.int32)
+        self._z_cdf[0, 1:] = np.cumsum(np.full(K, freq, np.int64))
+        self._z_cdf[0, -1] = 1 << precision
+        self.stream_part = stream_part
+        self._z_pool: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._z_pool.put(self._new_z_coder())
+        # overlap host-side z coding with the device-bound h decode
+        self._io = ThreadPoolExecutor(max_workers=4,
+                                      thread_name_prefix="sic-z")
 
-        # reference-format compat coder (stateless -> no lock needed)
+        # reference-format compat coder (stateless -> no pooling needed)
         from ..entropy.torchac_compat import UniformTorchacCodec
         assert z_format in ("rans", "torchac"), z_format
         self.z_format = z_format
         self.z_torchac = UniformTorchacCodec(K)
 
+    def _new_z_coder(self):
+        K = self.spec.titok.codebook_size
+        coder = EntropyCoder(self.stream_part)
+        group = coder.add_cdf(self._z_cdf, np.array([K + 1], np.int32),
+                              np.array([0], np.int32))
+        return coder, group
+
+    def _checkout_z(self):
+        try:
+            return self._z_pool.get_nowait()
+        except Exception:
+            return self._new_z_coder()
+
     def _encode_z(self, idx_np: np.ndarray) -> bytes:
         if self.z_format == "torchac":
             return self.z_torchac.encode(idx_np)
-        with self._z_lock:
-            self.z_coder.reset()
-            self.z_coder.encode_with_indexes(
+        coder, group = self._checkout_z()
+        try:
+            coder.reset()
+            coder.encode_with_indexes(
                 idx_np.astype(np.int32), np.zeros(idx_np.size, np.int16),
-                self.z_cdf_group)
-            self.z_coder.flush()
-            return self.z_coder.get_encoded_stream()
+                group)
+            coder.flush()
+            return coder.get_encoded_stream()
+        finally:
+            self._z_pool.put((coder, group))
 
     def _decode_z(self, z_bit_stream: bytes, token_length: int,
                   z_coder: str) -> np.ndarray:
         if z_coder == "torchac":
             return self.z_torchac.decode(z_bit_stream, int(token_length))
-        with self._z_lock:
-            self.z_coder.set_stream(z_bit_stream)
-            return self.z_coder.decode_stream(
-                np.zeros(int(token_length), np.int16), self.z_cdf_group)
+        coder, group = self._checkout_z()
+        try:
+            coder.set_stream(z_bit_stream)
+            return coder.decode_stream(
+                np.zeros(int(token_length), np.int16), group)
+        finally:
+            self._z_pool.put((coder, group))
 
     # -- API parity with the reference deployment methods ---------------------
     def encode_only(self, x, timer=None) -> Dict[str, Any]:
@@ -337,9 +361,13 @@ class CodecRuntime:
         if len(zshape) == 4:
             zshape = (zshape[0], zshape[3])
 
-        with timed_stage(timer, "z_rans"):
-            sym = self._decode_z(z_bit_stream, token_length, z_coder)
-            z_indices = jnp.asarray(sym.astype(np.int32).reshape(zshape))
+        def _z():
+            with timed_stage(timer, "z_rans"):
+                sym = self._decode_z(z_bit_stream, token_length, z_coder)
+                return jnp.asarray(sym.astype(np.int32).reshape(zshape))
+
+        # host-side z coding overlaps the h decode's device round trips
+        z_future = self._io.submit(_z)
 
         # feat_shape carries the pre-transform detail feature (B, H/32, W/32,
         # feat_width); the coded latent has quant_dim channels at the same grid.
@@ -351,6 +379,7 @@ class CodecRuntime:
         latent_shape = (B, Hf, Wf, self.spec.quant_dim)
         with timed_stage(timer, "h_rans"):
             h_hat = self.h_coder.decompress(h_bit_stream, latent_shape, q_idx=0)
+        z_indices = z_future.result()
         with timed_stage(timer, "decode_device"):
             return self._decode(self.params, z_indices, h_hat, tuple(stack_shape))
 
@@ -360,6 +389,45 @@ class CodecRuntime:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=workers) as pool:
             return list(pool.map(lambda e: self.decode_only(**e), enc_results))
+
+    def decode_only_batched(self, enc_results, timer=None) -> jax.Array:
+        """Throughput decode for same-shaped streams (e.g. one
+        ``encode_only_batched`` output): the 4 autoregressive steps run
+        device-BATCHED over all B streams — 4 host syncs total instead of
+        4 per image — while the per-image host rANS fans out on threads.
+        Returns x_hat (B, H, W, 3)."""
+        from ..utils.profiling import timed_stage
+
+        assert enc_results, "empty batch"
+        first = enc_results[0]
+        B = len(enc_results)
+        for e in enc_results:
+            assert tuple(e["stack_shape"]) == tuple(first["stack_shape"]), \
+                "decode_only_batched needs same-shaped streams"
+
+        n_latent = int(first["z_indices_shape"][-1])
+
+        def _z():
+            with timed_stage(timer, "z_rans"):
+                outs = [self._decode_z(e["z_bit_stream"], e["token_length"],
+                                       e.get("z_coder", "rans"))
+                        for e in enc_results]
+                return jnp.asarray(np.concatenate(outs).astype(np.int32)
+                                   .reshape(-1, n_latent))
+
+        z_future = self._io.submit(_z)
+
+        fs = tuple(int(s) for s in first["feat_shape"])
+        if fs[1] == self.spec.feat_width and fs[-1] != self.spec.feat_width:
+            fs = (fs[0], fs[2], fs[3], fs[1])
+        latent_shape = (1, fs[1], fs[2], self.spec.quant_dim)
+        with timed_stage(timer, "h_rans"):
+            h_hat = self.h_coder.decompress_batched(
+                [e["h_bit_stream"] for e in enc_results], latent_shape)
+        z_indices = z_future.result()
+        with timed_stage(timer, "decode_device"):
+            return self._decode(self.params, z_indices, h_hat,
+                                tuple(first["stack_shape"]))
 
     def encode_decode_many(self, images, original_shapes=None,
                            workers: int = 2):
