@@ -50,7 +50,22 @@ def main(argv=None):
                     help="disable cross-step buffer donation")
     ap.add_argument("--f32_frozen", action="store_true",
                     help="keep frozen backbones in f32 (default bf16 on TPU)")
+    ap.add_argument("--world_size", type=int, default=None,
+                    help="processes for multi-host data parallel "
+                         "(default: WORLD_SIZE env)")
+    ap.add_argument("--rank", type=int, default=None)
+    ap.add_argument("--coordinator", type=str, default=None,
+                    help="host:port of process 0 "
+                         "(default: MASTER_ADDR:MASTER_PORT env)")
     args = ap.parse_args(argv)
+
+    # multi-host DP: one global mesh over every process's devices; batches
+    # are rank-sliced locally and assembled into global arrays, XLA inserts
+    # the cross-host gradient all-reduces (the Lightning-DDP counterpart,
+    # reference: codec_sq_fixbpp.py:644 strategy.reduce / sync_dist logging)
+    from ..parallel.multihost import setup_distributed
+    rank, world = setup_distributed(args.rank, args.world_size,
+                                    args.coordinator)
 
     from ..config import (flagship_spec, load_config, qp_strategy, tiny_spec)
     from ..data import ImageDataset
@@ -115,16 +130,43 @@ def main(argv=None):
         if writer is not None:
             tb_log(d)
 
+    globalize = lambda b: b
+    if world > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel import make_mesh
+        if args.batch_size % world:
+            ap.error(f"--batch_size {args.batch_size} must divide by "
+                     f"world_size {world}")
+        mesh = make_mesh(shape=(len(jax.devices()), 1))
+        per = args.batch_size // world
+
+        def globalize(batch):
+            # every process iterates the same deterministic batch sequence;
+            # each contributes its contiguous rank-block of the global batch
+            local = np.asarray(batch)[rank * per:(rank + 1) * per]
+            spec = P("data", *([None] * (local.ndim - 1)))
+            return multihost_utils.host_local_array_to_global_array(
+                local, mesh, spec)
+
+        state = multihost_utils.host_local_array_to_global_array(
+            jax.tree.map(lambda x: np.asarray(x), state), mesh, P())
+
     epoch0 = [int(state.epoch_for_strategy)]
     trainer = Trainer(codec, state, steps, strategy,
-                      ckpt_dir=args.ckpt_dir, log_fn=log_fn)
+                      ckpt_dir=args.ckpt_dir if rank == 0 else None,
+                      log_fn=log_fn if rank == 0 else (lambda d: None))
 
     def train_data():
         e = int(trainer.state.epoch_for_strategy)
-        return train_ds.batches(args.batch_size, epoch=e)
+        return map(globalize, train_ds.batches(args.batch_size, epoch=e))
 
     def val_data():
-        return val_ds.batches(args.batch_size, shuffle=False) if val_ds else iter(())
+        return map(globalize,
+                   val_ds.batches(args.batch_size, shuffle=False)) \
+            if val_ds else iter(())
 
     trainer.fit(train_data, val_data if val_ds else None, epochs=args.epochs)
     if writer is not None:

@@ -90,9 +90,17 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
 def save_checkpoint(ckpt_dir, state: TrainState, step: Optional[int] = None,
                     name: Optional[str] = None):
     import orbax.checkpoint as ocp
+    import jax as _jax
     path = Path(ckpt_dir).resolve()
     path.mkdir(parents=True, exist_ok=True)
     tag = name if name is not None else f"step_{step or int(state.global_step)}"
+    if _jax.process_count() > 1:
+        # multi-host DP keeps state fully replicated and only host 0 saves;
+        # materialize to host arrays so orbax doesn't attempt a collective
+        import numpy as _np
+        state = _jax.tree.map(
+            lambda x: _np.asarray(x) if isinstance(x, _jax.Array) else x,
+            state)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / tag, state, force=True)
     return str(path / tag)

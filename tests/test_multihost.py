@@ -5,6 +5,7 @@ dir, host-0 index merge — must reproduce the single-process run.
 293-306 rank-0 barrier/merge, driven here through JAX's coordination
 service instead of NCCL.)
 """
+import json
 import os
 import socket
 import subprocess
@@ -91,6 +92,44 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert [Path(p).name for p in idx_s.ids] == \
            [Path(p).name for p in idx_m.ids]
     assert meta_s.get("dim") == meta_m.get("dim")
+
+
+def test_two_process_training_runs_and_checkpoints(tmp_path):
+    """Multi-host data-parallel training: two processes, one global mesh,
+    rank-sliced global batches, XLA cross-host grad all-reduce, rank-0
+    checkpointing (the Lightning-DDP counterpart)."""
+    img_dir = _make_corpus(tmp_path / "data", n=4)
+    # same-size crops: the train loader center/random-crops to train_px
+    port = _free_port()
+    ck = tmp_path / "ck"
+
+    def run(rank):
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/sic_tpu_xla_cache",
+                   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+                   WORLD_SIZE="2", RANK=str(rank),
+                   MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port))
+        return subprocess.Popen(
+            [sys.executable, "-m", "sic_tpu.cli.train", "--tiny",
+             "--train_dir", str(img_dir), "--train_px", "256",
+             "--epochs", "1", "--batch_size", "2",
+             "--ckpt_dir", str(ck)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+    procs = [run(0), run(1)]
+    outs = [p.communicate(timeout=1800) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2500:]
+    # rank 0 logged finite losses; rank 1 stayed quiet
+    logs = [json.loads(l) for l in outs[0][1].splitlines()
+            if l.startswith("{")]
+    losses = [l for l in logs if "train/align_loss" in l]
+    assert losses and all(np.isfinite(l["train/align_loss"]) for l in losses)
+    assert not [l for l in outs[1][1].splitlines() if l.startswith("{")]
+    # rank 0 wrote the final checkpoint
+    assert (ck / "last").exists()
 
 
 def test_shard_list_covers_everything_once():
