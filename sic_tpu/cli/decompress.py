@@ -16,22 +16,49 @@ from ..container import sanitize_enc_result_types, unpack_c2df
 from ._common import init_func, load_runtime, progress, save_png
 
 
-def decompress_dir(rt, dataset_dir, save_dir):
+def _crop_and_save(save_dir, stem, img, header):
+    l, r, t, b = header.get("padding", [0, 0, 0, 0])
+    H, W = img.shape[:2]
+    img = img[t:H - b if b else H, l:W - r if r else W]
+    save_png(Path(save_dir) / f"{stem}.png", img)
+
+
+def decompress_dir(rt, dataset_dir, save_dir, batch_size: int = 8):
+    """Same-shape streams are decoded in device-batched groups (the 4
+    autoregressive steps run once per group, not once per file) — the
+    decode dual of compress_dir's shape-bucketed batching."""
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     files = sorted(Path(dataset_dir).glob("*.c2df"))
+    buckets = {}
+
+    def flush(key):
+        group = buckets.pop(key, [])
+        if not group:
+            return
+        if len(group) == 1 or key is None:
+            for stem, enc, header in group:
+                x = rt.decode_only(**enc)   # enc carries its z_coder
+                _crop_and_save(save_dir, stem, np.asarray(x[0]), header)
+            return
+        x = rt.decode_only_batched([enc for _, enc, _ in group])
+        for i, (stem, _enc, header) in enumerate(group):
+            _crop_and_save(save_dir, stem, np.asarray(x[i]), header)
+
     for path in progress(files, desc="decompress"):
         enc_result, header = unpack_c2df(path)
         enc_result = sanitize_enc_result_types(enc_result)
+        enc_result["z_coder"] = header.get("z_coder", "torchac")
         # files without the marker predate this framework: they are
         # reference-produced and torchac-coded (codec_sq_fixbpp.py:861-864)
-        x_hat = rt.decode_only(**enc_result,
-                               z_coder=header.get("z_coder", "torchac"))
-        img = np.asarray(x_hat[0])
-        l, r, t, b = header.get("padding", [0, 0, 0, 0])
-        H, W = img.shape[:2]
-        img = img[t:H - b if b else H, l:W - r if r else W]
-        save_png(save_dir / f"{path.stem}.png", img)
+        key = (tuple(enc_result["stack_shape"]),
+               tuple(enc_result["feat_shape"]),
+               int(enc_result["token_length"]))
+        buckets.setdefault(key, []).append((path.stem, enc_result, header))
+        if len(buckets[key]) >= batch_size:
+            flush(key)
+    for key in list(buckets):
+        flush(key)
     return len(files)
 
 

@@ -210,10 +210,14 @@ class BottleneckCoder:
 
         @jax.jit
         def _pack_planes(planes):
-            """[(sym, idx) x 4] -> one (4, 2, B, H, W, C/4) int32 array so
-            the encode path crosses the host boundary exactly once."""
-            return jnp.stack([jnp.stack([s, i.astype(jnp.int32)])
-                              for s, i in planes])
+            """[(sym, idx) x 4] -> one (4, 2, B, H, W, C/4) int16 array so
+            the encode path crosses the host boundary exactly once (int16 is
+            the coder's native symbol width — entropy_models.py:66-69 clamp
+            — and halves the transfer)."""
+            return jnp.stack([
+                jnp.stack([jnp.clip(s, -30000, 30000).astype(jnp.int16),
+                           i.astype(jnp.int16)])
+                for s, i in planes])
 
         self._encode_transform = _encode_transform
         self._decode_transform = _decode_transform
