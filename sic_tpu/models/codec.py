@@ -429,6 +429,25 @@ class CodecRuntime:
             return self._decode(self.params, z_indices, h_hat,
                                 tuple(first["stack_shape"]))
 
+    def round_trip_pipelined(self, batches):
+        """Two-stage software pipeline over a list of same-shape image
+        batches: batch k+1's encode (device pass + host rANS write) runs
+        concurrently with batch k's batched decode, so the tunnel RTTs of
+        one stage hide behind the device/host work of the other.  Returns
+        the list of x_hat batch arrays."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        outs = []
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            enc_f = pool.submit(self.encode_only_batched, batches[0])
+            for i in range(len(batches)):
+                encs = enc_f.result()
+                if i + 1 < len(batches):
+                    enc_f = pool.submit(self.encode_only_batched,
+                                        batches[i + 1])
+                outs.append(self.decode_only_batched(encs))
+        return outs
+
     def encode_decode_many(self, images, original_shapes=None,
                            workers: int = 2):
         """Thread-pipelined round-trips over a list of images: one image's

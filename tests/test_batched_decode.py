@@ -46,6 +46,19 @@ def test_batched_decode_bit_exact_vs_encoder_simulation(rt):
     assert np.all(np.isfinite(a))
 
 
+def test_round_trip_pipelined_matches_sequential(rt):
+    """Two batches in flight must reconstruct exactly what the sequential
+    batched pipeline produces."""
+    rng = np.random.default_rng(4)
+    batches = [jnp.asarray(rng.uniform(-1, 1, (2, 256, 256, 3))
+                           .astype(np.float32)) for _ in range(3)]
+    outs = rt.round_trip_pipelined(batches)
+    assert len(outs) == 3
+    for xb, out in zip(batches, outs):
+        ref = rt.decode_only_batched(rt.encode_only_batched(xb))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_batched_decode_rejects_mixed_shapes(rt):
     rng = np.random.default_rng(3)
     x1 = jnp.asarray(rng.uniform(-1, 1, (1, 256, 256, 3)).astype(np.float32))
