@@ -360,6 +360,14 @@ class CodecRuntime:
         zshape = tuple(int(s) for s in z_indices_shape)
         if len(zshape) == 4:
             zshape = (zshape[0], zshape[3])
+        # these fields come from untrusted containers: bound the allocation
+        # and require internal consistency before decoding anything
+        token_length = int(token_length)
+        if not (0 < token_length <= (1 << 24)) or \
+                token_length != zshape[0] * zshape[1]:
+            raise ValueError(
+                f"inconsistent semantic-stream geometry: token_length="
+                f"{token_length}, z_indices_shape={tuple(z_indices_shape)}")
 
         def _z():
             with timed_stage(timer, "z_rans"):

@@ -92,3 +92,24 @@ def test_service_rejects_bad_c2df_upload():
             assert e.value.code == 500
         finally:
             srv.shutdown()
+
+
+def test_decode_only_rejects_inconsistent_token_geometry():
+    """token_length / z_indices_shape come from untrusted containers; a
+    mismatch (or an absurd allocation request) must fail fast, before any
+    stream decoding."""
+    import jax
+
+    from sic_tpu.config import tiny_spec
+    from sic_tpu.models import CodecRuntime, init_codec
+
+    spec = tiny_spec()
+    _, params = init_codec(spec, jax.random.PRNGKey(0))
+    rt = CodecRuntime(spec, params)
+    base = dict(z_bit_stream=b"\x01" + b"\x00" * 8, h_bit_stream=b"\x01",
+                img_shape=(256, 256), feat_shape=(1, 8, 8, spec.feat_width),
+                stack_shape=(1, 1), z_indices_shape=(1, 8))
+    with pytest.raises(ValueError):
+        rt.decode_only(**base, token_length=1 << 30)   # absurd allocation
+    with pytest.raises(ValueError):
+        rt.decode_only(**base, token_length=9)         # != prod(zshape)
