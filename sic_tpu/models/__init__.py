@@ -7,6 +7,10 @@ from .dcvc import ConvFFN3, DepthConv, DepthConvBlock4
 from .hybrid import (FeatMerge, HybridCodec, HybridDecoder, HybridEncoder,
                      PixelShuffle, TiTokSpec)
 from .layers import MLP, MultiheadSelfAttention, ResidualAttentionBlock
+from .maskgit_vqgan import (MaskGITVQGANSpec, PixelDecoder, PixelEncoder,
+                            PixelQuantizer, PixelResnetBlock)
+from .titok import (PretrainedTokenizer, TiTok, TiTokDecoderViT,
+                    TiTokEncoderViT, inverse_img_stack, make_img_stack)
 from .quantizer import L2VectorQuantizer, VQGANQuantizer
 from .swin import SwinBlock, SwinStack, WindowAttention
 from .vqgan import VQGAN, Decoder, Encoder, VQGANSpec
@@ -19,5 +23,8 @@ __all__ = [
     "HybridEncoder", "PixelShuffle", "TiTokSpec", "MLP",
     "MultiheadSelfAttention", "ResidualAttentionBlock", "L2VectorQuantizer",
     "VQGANQuantizer", "SwinBlock", "SwinStack", "WindowAttention", "VQGAN",
-    "Decoder", "Encoder", "VQGANSpec",
+    "Decoder", "Encoder", "VQGANSpec", "MaskGITVQGANSpec", "PixelDecoder",
+    "PixelEncoder", "PixelQuantizer", "PixelResnetBlock",
+    "PretrainedTokenizer", "TiTok", "TiTokDecoderViT", "TiTokEncoderViT",
+    "inverse_img_stack", "make_img_stack",
 ]

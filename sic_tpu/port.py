@@ -310,6 +310,124 @@ def port_featmerge(sd, p):
     }
 
 
+def port_maskgit_encoder(sd, p, num_resolutions: int = 5,
+                         num_res_blocks: int = 2):
+    """(reference: titok/maskgit_vqgan.py:159-198)"""
+    def resnet(q):
+        out = {"norm1": t_norm(sd, f"{q}.norm1"),
+               "conv1": t_conv(sd, f"{q}.conv1"),
+               "norm2": t_norm(sd, f"{q}.norm2"),
+               "conv2": t_conv(sd, f"{q}.conv2")}
+        if f"{q}.nin_shortcut.weight" in sd:
+            out["nin_shortcut"] = t_conv(sd, f"{q}.nin_shortcut")
+        return out
+
+    out = {"conv_in": t_conv(sd, f"{p}.conv_in"),
+           "norm_out": t_norm(sd, f"{p}.norm_out"),
+           "conv_out": t_conv(sd, f"{p}.conv_out")}
+    for i in range(num_resolutions):
+        for j in range(num_res_blocks):
+            out[f"down_{i}_block_{j}"] = resnet(f"{p}.down.{i}.block.{j}")
+    for j in range(num_res_blocks):
+        out[f"mid_{j}"] = resnet(f"{p}.mid.{j}")
+    return out
+
+
+def port_maskgit_decoder(sd, p, num_resolutions: int = 5,
+                         num_res_blocks: int = 2):
+    """(reference: titok/maskgit_vqgan.py:201-266; ``up.{i}`` state-dict
+    index == block_idx after the double-reversal at :225-229)"""
+    def resnet(q):
+        out = {"norm1": t_norm(sd, f"{q}.norm1"),
+               "conv1": t_conv(sd, f"{q}.conv1"),
+               "norm2": t_norm(sd, f"{q}.norm2"),
+               "conv2": t_conv(sd, f"{q}.conv2")}
+        if f"{q}.nin_shortcut.weight" in sd:
+            out["nin_shortcut"] = t_conv(sd, f"{q}.nin_shortcut")
+        return out
+
+    out = {"conv_in": t_conv(sd, f"{p}.conv_in"),
+           "norm_out": t_norm(sd, f"{p}.norm_out"),
+           "conv_out": t_conv(sd, f"{p}.conv_out")}
+    for j in range(num_res_blocks):
+        out[f"mid_{j}"] = resnet(f"{p}.mid.{j}")
+    for i in range(num_resolutions):
+        for j in range(num_res_blocks):
+            out[f"up_{i}_block_{j}"] = resnet(f"{p}.up.{i}.block.{j}")
+        if i != 0:
+            out[f"up_{i}_upsample_conv"] = t_conv(
+                sd, f"{p}.up.{i}.upsample_conv")
+    return out
+
+
+def port_pretrained_tokenizer(sd, p: str = "", num_resolutions: int = 5,
+                              num_res_blocks: int = 2) -> dict:
+    """Frozen MaskGIT-VQGAN tokenizer (reference: titok/titok.py:30-52)."""
+    q = f"{p}." if p else ""
+    return {"params": {
+        "encoder": port_maskgit_encoder(sd, f"{q}encoder", num_resolutions,
+                                        num_res_blocks),
+        "decoder": port_maskgit_decoder(sd, f"{q}decoder", num_resolutions,
+                                        num_res_blocks),
+        "quantize": {"embedding": sd[f"{q}quantize.embedding.weight"]},
+    }}
+
+
+def port_titok_encoder(sd, p, num_layers: int):
+    """Plain TiTokEncoder (reference: titok/blocks.py:71-144)."""
+    out = {
+        "patch_embed": t_conv(sd, f"{p}.patch_embed"),
+        "class_embedding": sd[f"{p}.class_embedding"],
+        "positional_embedding": sd[f"{p}.positional_embedding"],
+        "latent_token_positional_embedding":
+            sd[f"{p}.latent_token_positional_embedding"],
+        "ln_pre": t_norm(sd, f"{p}.ln_pre"),
+        "ln_post": t_norm(sd, f"{p}.ln_post"),
+        "conv_out": t_conv1x1_as_dense(sd, f"{p}.conv_out"),
+    }
+    for i in range(num_layers):
+        out[f"transformer_{i}"] = t_rab(sd, f"{p}.transformer.{i}")
+    return out
+
+
+def port_titok_decoder(sd, p, num_layers: int):
+    """Plain TiTokDecoder incl. the pixel ffn head
+    (reference: titok/blocks.py:147-224)."""
+    out = {
+        "decoder_embed": t_lin(sd, f"{p}.decoder_embed"),
+        "class_embedding": sd[f"{p}.class_embedding"],
+        "positional_embedding": sd[f"{p}.positional_embedding"],
+        "mask_token": sd[f"{p}.mask_token"],
+        "latent_token_positional_embedding":
+            sd[f"{p}.latent_token_positional_embedding"],
+        "ln_pre": t_norm(sd, f"{p}.ln_pre"),
+        "ln_post": t_norm(sd, f"{p}.ln_post"),
+        "ffn_fc1": t_conv1x1_as_dense(sd, f"{p}.ffn.0"),
+        "ffn_fc2": t_conv1x1_as_dense(sd, f"{p}.ffn.2"),
+    }
+    for i in range(num_layers):
+        out[f"transformer_{i}"] = t_rab(sd, f"{p}.transformer.{i}")
+    return out
+
+
+def port_titok(sd, num_layers: int, p: str = "", num_resolutions: int = 5,
+               num_res_blocks: int = 2) -> dict:
+    """Full TiTok checkpoint -> sic_tpu TiTok params
+    (reference module layout: titok/titok.py:73-103)."""
+    q = f"{p}." if p else ""
+    return {"params": {
+        "encoder": port_titok_encoder(sd, f"{q}encoder", num_layers),
+        "decoder": port_titok_decoder(sd, f"{q}decoder", num_layers),
+        "latent_tokens": sd[f"{q}latent_tokens"],
+        "quantize": {"embedding": sd[f"{q}quantize.embedding.weight"]},
+        "pixel_quantize": {"embedding":
+                           sd[f"{q}pixel_quantize.embedding.weight"]},
+        "pixel_decoder": port_maskgit_decoder(sd, f"{q}pixel_decoder",
+                                              num_resolutions,
+                                              num_res_blocks),
+    }}
+
+
 def port_discriminator(sd, p, n_layers: int = 3):
     """NLayerDiscriminator (reference: taming/modules/discriminator/
     model.py:17-67; Sequential 'main' with BN between convs).
