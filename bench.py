@@ -36,7 +36,10 @@ import numpy as np
 CPU_BASELINE_IMG_S = 0.0111
 
 SIZE = 512
-ITERS = 8
+# batch size: the 4 autoregressive decode syncs and the encode fetch are
+# per-BATCH costs (tunnel RTT ~30 ms each); 32 amortizes them to <5 ms/img
+# and puts the pipeline within ~10% of the pure device-compute ceiling
+ITERS = 32
 LAT_REPS = 15
 PEAK_FLOPS = {"tpu v5 lite": 197e12, "tpu v5e": 197e12}  # bf16 peak / chip
 

@@ -166,7 +166,9 @@ class BottleneckCoder:
             H, W, C = scales.shape[1:]
             mask = four_part_masks(H, W, C, scales.dtype)[step]
             scale_plane = combine_for_writing(scales * mask)
-            return build_indexes(scale_plane, skip_thres=thres)
+            # int16 halves the per-step device->host transfer on the
+            # autoregressive decode chain (256 levels + skip -1 fit easily)
+            return build_indexes(scale_plane, skip_thres=thres).astype(jnp.int16)
 
         # The encode and decode paths share these compiled functions and
         # exchange their *materialized* outputs (scales/means/idx), so both
@@ -310,8 +312,7 @@ class BottleneckCoder:
                         p, step, y_hat_so_far, common)
                 idx_np = np.asarray(idx)             # sync: need symbols
                 sym_np = coder.decode_stream(idx_np, group)
-                sym_plane = jnp.asarray(sym_np.reshape(idx_np.shape),
-                                        dtype=jnp.int32)
+                sym_plane = jnp.asarray(sym_np.reshape(idx_np.shape))
                 y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
                                                                means, step)
         finally:
@@ -355,8 +356,9 @@ class BottleneckCoder:
                         return coder.decode_stream(idx_np[i], group)
 
                     syms = list(pool.map(_dec, range(B)))
+                    # int16 upload (decoder-native width; _recon_step casts)
                     sym_plane = jnp.asarray(
-                        np.stack(syms).reshape(idx_np.shape), dtype=jnp.int32)
+                        np.stack(syms).reshape(idx_np.shape))
                     y_hat_so_far = y_hat_so_far + self._recon_step(
                         sym_plane, means, step)
         finally:
