@@ -47,6 +47,12 @@ def setup_distributed(rank: Optional[int] = None, world: Optional[int] = None,
             "multi-process run needs a coordinator address "
             "(--coordinator or MASTER_ADDR/MASTER_PORT)")
     import jax
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # The default CPU collectives implementation is single-process:
+        # without gloo, jax.process_count() stays 1 after initialize and
+        # every barrier silently no-ops (a rank-0 merge could then race
+        # ahead of the other ranks' writes).
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=world, process_id=rank)
     return rank, world
@@ -54,8 +60,16 @@ def setup_distributed(rank: Optional[int] = None, world: Optional[int] = None,
 
 def barrier(tag: str = "sic_tpu_barrier") -> None:
     """Block until every process reaches this point (reference:
-    dist.barrier(), compress.py:293).  No-op single-process."""
+    dist.barrier(), compress.py:293).  No-op single-process.
+
+    Prefers the coordination-service barrier (works regardless of the
+    device backend); falls back to a device-level all-reduce."""
     import jax
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(f"sic_tpu:{tag}", timeout_in_ms=600_000)
+        return
     if jax.process_count() <= 1:
         return
     from jax.experimental import multihost_utils
