@@ -234,11 +234,23 @@ def main():
     result["rtt_ms"] = round(measure_rtt(), 2)
     result["total_bpp"] = round(bpp["total_bpp"], 5)
 
-    # single-request decode latency: threaded substreams + z overlap vs
-    # the wire-parity stream_part=1 runtime (same compiled fns, jit-cached)
+    # single-request decode latency.  With >= 4 substreams decode_only's
+    # auto policy runs the ENTIRE entropy decode on device (Pallas rANS
+    # kernel chained between the prior/recon executables — one round trip);
+    # flipping the policy attribute re-times the 4-RTT host path on the
+    # same compiled functions, and the two must agree exactly.
     p50, p90 = decode_latency(rt, encs[0])
     result["decode_p50_ms"] = round(p50, 1)
     result["decode_p90_ms"] = round(p90, 1)
+    x_auto = np.asarray(rt.decode_only(**encs[0]))
+    rt.device_entropy = "host"
+    p50_h, _ = decode_latency(rt, encs[0], reps=max(5, LAT_REPS // 2))
+    result["decode_p50_ms_hostpath"] = round(p50_h, 1)
+    x_host = np.asarray(rt.decode_only(**encs[0]))
+    rt.device_entropy = "auto"
+    assert np.array_equal(x_auto, x_host), \
+        "device-entropy decode diverged from host path"
+    result["device_rans_check"] = "pass"
     from sic_tpu.models import CodecRuntime
     rt1 = CodecRuntime(rt.spec, params, dtype=jnp.bfloat16, stream_part=1)
     p50_1, _ = decode_latency(rt1, encs[0], reps=max(5, LAT_REPS // 2))

@@ -56,7 +56,11 @@ def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
         # bf16 is native on TPU; on CPU it is emulated and ~4x slower
         dtype = None if jax.devices()[0].platform == "cpu" else jnp.bfloat16
     if stream_part is None:
-        stream_part = int(os.environ.get("SIC_STREAM_PART", "1"))
+        # 4 substreams: threaded host coding on encode, and >= 4 parts lets
+        # decode_only take the on-device Pallas rANS path (one round trip
+        # instead of 4).  Wire format stays reference-decodable (the flag
+        # byte carries the part count; reference py_rans.cpp:91-136).
+        stream_part = int(os.environ.get("SIC_STREAM_PART", "4"))
     if ckpt_path:
         params = load_codec_params(ckpt_path, cfg.spec, dtype=dtype)
     else:

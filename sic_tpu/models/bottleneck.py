@@ -22,6 +22,7 @@ from ..entropy.fourpart import (combine_for_writing, forward_four_part_prior,
                                 four_part_masks, process_with_mask,
                                 separate_prior, add_uniform_noise)
 from ..entropy.gaussian import build_indexes, gaussian_bits
+from ..ops.rans_decode import pack_substreams, rans_decode_plane, split_substreams
 from .dcvc import DepthConvBlock4
 
 
@@ -127,15 +128,28 @@ class BottleneckCoder:
     decompress, guaranteeing the bit-exact round-trip.
     """
 
+    #: Canonical coding batch.  EVERY compiled function feeding the coding
+    #: trajectory (encode transform, priors, quantization, reconstruction)
+    #: runs at this exact batch size, padding/chunking as needed: XLA
+    #: executables compiled for different batch sizes produce different
+    #: bf16 float results (measured: ~8% of CDF indexes flip between a
+    #: B=32 and a B=1 executable on TPU), which desynchronizes the
+    #: autoregressive decode of a stream encoded at another batch size.
+    #: Within ONE executable, batch rows are computed independently, so
+    #: pad rows cannot perturb real rows.  This constant is part of the
+    #: coding contract — both sides of a stream must agree on it.
+    CODING_BATCH = 8
+
     def __init__(self, module: CompressiveBottleneck, params,
                  force_zero_thres: Optional[float] = 0.12,
-                 stream_part: int = 1):
+                 stream_part: int = 1, coding_batch: Optional[int] = None):
         import queue
         import threading
         self.module = module
         self.params = params
         self.force_zero_thres = force_zero_thres
         self.stream_part = stream_part
+        self.coding_batch = coding_batch or self.CODING_BATCH
         self.tables = build_gaussian_tables("gaussian")
         self.coder = EntropyCoder(stream_part)
         # the native coder is stateful; guard it so pipelined callers can
@@ -221,6 +235,17 @@ class BottleneckCoder:
                            i.astype(jnp.int16)])
                 for s, i in planes])
 
+        @functools.partial(jax.jit, static_argnames=("nparts", "s_pad"))
+        def _idx_rows(idx, nparts, s_pad):
+            """(B, H, W, Cq) index plane -> (S, npos) int32 kernel rows:
+            contiguous flat chunks per substream (the C++ partition,
+            sic_rans.cc:300-305), padded to the kernel's 8-lane grouping
+            with skipped (idx = -1) rows."""
+            rows = idx.astype(jnp.int32).reshape(nparts, -1)
+            return jnp.pad(rows, ((0, s_pad - nparts), (0, 0)),
+                           constant_values=-1)
+
+        self._idx_rows = _idx_rows
         self._encode_transform = _encode_transform
         self._decode_transform = _decode_transform
         self._prior = _prior
@@ -228,6 +253,10 @@ class BottleneckCoder:
         self._write_plane = _write_plane
         self._recon_step = _recon_step
         self._pack_planes = _pack_planes
+        # device-resident CDF tables for the on-device (Pallas) decoder
+        self._dev_cdf = jnp.asarray(self.tables.quantized_cdf, jnp.int32)
+        self._dev_cdf_len = jnp.asarray(self.tables.cdf_length, jnp.int32)
+        self._dev_cdf_off = jnp.asarray(self.tables.offset, jnp.int32)
 
     def _checkout_decoder(self):
         try:
@@ -248,32 +277,53 @@ class BottleneckCoder:
         return jax.jit(fn, static_argnames=("img_hw", "q_idx"))(
             y, img_hw=tuple(img_hw), q_idx=q_idx)
 
+    def _chunk_batches(self, B: int):
+        """[(start, real_count)] covering B images in CODING_BATCH chunks."""
+        Bc = self.coding_batch
+        return [(s, min(Bc, B - s)) for s in range(0, B, Bc)]
+
     def compress_plan(self, y, q_idx: int = 0):
         """Dispatch the whole device-side encode chain WITHOUT any host
         sync; returns (packed_planes device array, y_hat device array).
         The caller fetches ``packed`` (one transfer) and runs
-        :meth:`encode_packed`."""
+        :meth:`encode_packed`.
+
+        The chain runs per CODING_BATCH chunk (padded with zero images) so
+        the float trajectory is identical to what any later decode — single
+        image or batched — will recompute."""
         p = self.params
-        y_t = self._encode_transform(p, y, q_idx)
-        quant_step, scales, means, common, idx0 = self._prior(
-            p, tuple(y_t.shape[:3]), q_idx)
-        y_div = y_t / quant_step
+        B = y.shape[0]
+        Bc = self.coding_batch
+        packed_chunks, y_hat_chunks = [], []
+        for start, real in self._chunk_batches(B):
+            yc = y[start:start + real]
+            if real < Bc:
+                yc = jnp.pad(yc, ((0, Bc - real),) + ((0, 0),) * (y.ndim - 1))
+            y_t = self._encode_transform(p, yc, q_idx)
+            quant_step, scales, means, common, idx0 = self._prior(
+                p, tuple(y_t.shape[:3]), q_idx)
+            y_div = y_t / quant_step
 
-        y_hat_so_far = jnp.zeros_like(y_div)
-        planes = []
-        for step in range(4):
-            if step > 0:
-                scales, means, idx = self._spatial_step(p, step, y_hat_so_far,
-                                                        common)
-            else:
-                idx = idx0
-            sym_plane = self._write_plane(y_div, scales, means, step)
-            planes.append((sym_plane, idx))
-            y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane, means, step)
+            y_hat_so_far = jnp.zeros_like(y_div)
+            planes = []
+            for step in range(4):
+                if step > 0:
+                    scales, means, idx = self._spatial_step(
+                        p, step, y_hat_so_far, common)
+                else:
+                    idx = idx0
+                sym_plane = self._write_plane(y_div, scales, means, step)
+                planes.append((sym_plane, idx))
+                y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
+                                                               means, step)
 
-        packed = self._pack_planes(planes)
-        y_hat = self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
-        return packed, y_hat
+            packed_chunks.append(self._pack_planes(planes)[:, :, :real])
+            y_hat_chunks.append(self._decode_transform(
+                p, y_hat_so_far * quant_step, q_idx)[:real])
+        if len(packed_chunks) == 1:
+            return packed_chunks[0], y_hat_chunks[0]
+        return (jnp.concatenate(packed_chunks, axis=2),
+                jnp.concatenate(y_hat_chunks, axis=0))
 
     def encode_packed(self, packed: np.ndarray) -> bytes:
         """Host rANS over a fetched packed-planes array."""
@@ -286,6 +336,31 @@ class BottleneckCoder:
             self.coder.flush()
             return self.coder.get_encoded_stream()
 
+    def encode_packed_many(self, packed: np.ndarray, workers: int = 8) -> list:
+        """Per-image host rANS over a batched packed array (4, 2, B, ...):
+        images fan out over a pool of native encoders (the ctypes calls
+        release the GIL), instead of serializing on the shared coder."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        B = packed.shape[2]
+
+        def _enc(b):
+            coder, group = self._checkout_decoder()
+            try:
+                coder.reset()
+                for step in range(packed.shape[0]):
+                    coder.encode_with_indexes(packed[step, 0, b:b + 1],
+                                              packed[step, 1, b:b + 1], group)
+                coder.flush()
+                return coder.get_encoded_stream()
+            finally:
+                self._checkin_decoder((coder, group))
+
+        if B == 1:
+            return [self.encode_packed(packed)]
+        with ThreadPoolExecutor(max_workers=min(workers, B)) as pool:
+            return list(pool.map(_enc, range(B)))
+
     def compress(self, y, q_idx: int = 0):
         """y: (B, H, W, feat_dim) -> (bit_stream bytes, y_hat).
 
@@ -296,29 +371,124 @@ class BottleneckCoder:
         return self.encode_packed(np.asarray(packed)), y_hat
 
     def decompress(self, bit_stream: bytes, feat_shape, q_idx: int = 0):
-        """feat_shape: (B, H, W, quant_dim) of the transformed latent."""
+        """feat_shape: (B, H, W, quant_dim) of the transformed latent.
+
+        The prior/recon chain runs at CODING_BATCH (pad images beyond B are
+        zeros and consume no stream bytes), reproducing the encoder's float
+        trajectory exactly regardless of either side's batch size."""
         p = self.params
         B, H, W, C = feat_shape
+        Bc = self.coding_batch
+        chunks = self._chunk_batches(B)
         coder, group = self._checkout_decoder()
         try:
             coder.set_stream(bit_stream)
-            quant_step, scales, means, common, idx = self._prior(
-                p, (B, H, W), q_idx)
+            quant_step, _scales, means0, common, idx0 = self._prior(
+                p, (Bc, H, W), q_idx)
 
-            y_hat_so_far = jnp.zeros((B, H, W, C), dtype=quant_step.dtype)
+            y_hats = [jnp.zeros((Bc, H, W, C), dtype=quant_step.dtype)
+                      for _ in chunks]
+            means_c = [means0] * len(chunks)
+            idx_c = [idx0] * len(chunks)
             for step in range(4):
                 if step > 0:
-                    scales, means, idx = self._spatial_step(
-                        p, step, y_hat_so_far, common)
-                idx_np = np.asarray(idx)             # sync: need symbols
-                sym_np = coder.decode_stream(idx_np, group)
-                sym_plane = jnp.asarray(sym_np.reshape(idx_np.shape))
-                y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
-                                                               means, step)
+                    for ci in range(len(chunks)):
+                        _s, means_c[ci], idx_c[ci] = self._spatial_step(
+                            p, step, y_hats[ci], common)
+                # ONE transfer round for all chunks' index planes
+                idx_np = jax.device_get(idx_c)
+                idx_real = np.concatenate(
+                    [a[:real] for a, (_s2, real) in zip(idx_np, chunks)])
+                sym_np = coder.decode_stream(idx_real, group)
+                sym_np = sym_np.reshape(idx_real.shape)
+                off = 0
+                for ci, (_start, real) in enumerate(chunks):
+                    sp = np.zeros((Bc,) + sym_np.shape[1:], np.int16)
+                    sp[:real] = sym_np[off:off + real]
+                    off += real
+                    y_hats[ci] = y_hats[ci] + self._recon_step(
+                        jnp.asarray(sp), means_c[ci], step)
         finally:
             self._checkin_decoder((coder, group))
 
-        return self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
+        outs = [self._decode_transform(p, yh * quant_step, q_idx)[:real]
+                for yh, (_s, real) in zip(y_hats, chunks)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def can_decompress_on_device(self, bit_stream: bytes, feat_shape) -> bool:
+        """The on-device decoder needs equal-size substream chunks (true for
+        power-of-two planes and stream_part) and a jax backend that can run
+        the Pallas kernel (TPU, or CPU via interpret mode)."""
+        if len(bit_stream) < 1:
+            return False
+        nparts = (bit_stream[0] >> 4) + 1
+        B, H, W, C = feat_shape
+        n_step = B * H * W * (C // 4)
+        return n_step % nparts == 0 and (n_step // nparts) >= 1
+
+    def decompress_device(self, bit_stream: bytes, feat_shape, q_idx: int = 0,
+                          interpret: Optional[bool] = None):
+        """Fully device-resident decompress: the four autoregressive steps
+        chain prior-CNN -> Pallas rANS decode -> reconstruction dispatches
+        asynchronously, so the host boundary is crossed once for the stream
+        upload and once for the final fetch — vs 4 serial round trips on the
+        host path (:meth:`decompress`).  Uses the SAME compiled prior/recon
+        executables as the host path and encoder, so the float trajectory
+        (and hence the index planes the decoder consumes) is bit-identical.
+
+        Reference counterpart: the eager per-step decompress at
+        src/models/sq_bottleneck.py:202-216 — there the entropy decode is
+        host-side by construction; here it rides the MXU/VPU.
+        """
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        p = self.params
+        B, H, W, C = feat_shape
+        Bc = self.coding_batch
+        chunks = self._chunk_batches(B)
+
+        parts = split_substreams(bit_stream)
+        nparts = len(parts)
+        n_step = B * H * W * (C // 4)
+        if n_step % nparts != 0:
+            raise ValueError("substream count does not evenly divide plane")
+        words_np, lens_np, state_np = pack_substreams(parts)
+        words = jnp.asarray(words_np)
+        lens = jnp.asarray(lens_np)
+        st = jnp.asarray(state_np)
+        s_pad = words.shape[0]
+
+        quant_step, _scales, means0, common, idx0 = self._prior(
+            p, (Bc, H, W), q_idx)
+        y_hats = [jnp.zeros((Bc, H, W, C), dtype=quant_step.dtype)
+                  for _ in chunks]
+        means_c = [means0] * len(chunks)
+        idx_c = [idx0] * len(chunks)
+        plane_shape = None
+        for step in range(4):
+            if step > 0:
+                for ci in range(len(chunks)):
+                    _s, means_c[ci], idx_c[ci] = self._spatial_step(
+                        p, step, y_hats[ci], common)
+            idx_real = (idx_c[0][:B] if len(chunks) == 1 else
+                        jnp.concatenate(
+                            [a[:real] for a, (_s2, real)
+                             in zip(idx_c, chunks)], axis=0))
+            plane_shape = idx_real.shape
+            rows = self._idx_rows(idx_real, nparts, s_pad)
+            sym, st = rans_decode_plane(rows, words, lens, st,
+                                        self._dev_cdf, self._dev_cdf_len,
+                                        self._dev_cdf_off, interpret=interpret)
+            sym_plane = sym[:nparts].reshape(plane_shape)
+            for ci, (start, real) in enumerate(chunks):
+                sp = sym_plane[start:start + real]
+                if real < Bc:
+                    sp = jnp.pad(sp, ((0, Bc - real),) + ((0, 0),) * 3)
+                y_hats[ci] = y_hats[ci] + self._recon_step(sp, means_c[ci],
+                                                           step)
+        outs = [self._decode_transform(p, yh * quant_step, q_idx)[:real]
+                for yh, (_s, real) in zip(y_hats, chunks)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def decompress_batched(self, bit_streams, latent_shape, q_idx: int = 0,
                            workers: int = 8):
@@ -336,35 +506,46 @@ class BottleneckCoder:
 
         p = self.params
         B = len(bit_streams)
+        Bc = self.coding_batch
+        chunks = self._chunk_batches(B)
         _, H, W, C = latent_shape
         coders = [self._checkout_decoder() for _ in bit_streams]
         try:
             for (coder, _g), stream in zip(coders, bit_streams):
                 coder.set_stream(stream)
-            quant_step, scales, means, common, idx = self._prior(
-                p, (B, H, W), q_idx)
-            y_hat_so_far = jnp.zeros((B, H, W, C), dtype=quant_step.dtype)
+            quant_step, _scales, means0, common, idx0 = self._prior(
+                p, (Bc, H, W), q_idx)
+            y_hats = [jnp.zeros((Bc, H, W, C), dtype=quant_step.dtype)
+                      for _ in chunks]
+            means_c = [means0] * len(chunks)
+            idx_c = [idx0] * len(chunks)
             with ThreadPoolExecutor(max_workers=min(workers, B)) as pool:
                 for step in range(4):
                     if step > 0:
-                        scales, means, idx = self._spatial_step(
-                            p, step, y_hat_so_far, common)
-                    idx_np = np.asarray(idx)          # ONE fetch for all B
+                        for ci in range(len(chunks)):
+                            _s, means_c[ci], idx_c[ci] = self._spatial_step(
+                                p, step, y_hats[ci], common)
+                    idx_np = jax.device_get(idx_c)   # ONE round for all B
 
                     def _dec(i):
                         coder, group = coders[i]
-                        return coder.decode_stream(idx_np[i], group)
+                        ci, off = divmod(i, Bc)
+                        return coder.decode_stream(idx_np[ci][off], group)
 
                     syms = list(pool.map(_dec, range(B)))
-                    # int16 upload (decoder-native width; _recon_step casts)
-                    sym_plane = jnp.asarray(
-                        np.stack(syms).reshape(idx_np.shape))
-                    y_hat_so_far = y_hat_so_far + self._recon_step(
-                        sym_plane, means, step)
+                    for ci, (start, real) in enumerate(chunks):
+                        sp = np.zeros((Bc,) + idx_np[ci].shape[1:], np.int16)
+                        sp[:real] = np.stack(
+                            syms[start:start + real]).reshape(
+                                (real,) + idx_np[ci].shape[1:])
+                        y_hats[ci] = y_hats[ci] + self._recon_step(
+                            jnp.asarray(sp), means_c[ci], step)
         finally:
             for item in coders:
                 self._checkin_decoder(item)
-        return self._decode_transform(p, y_hat_so_far * quant_step, q_idx)
+        outs = [self._decode_transform(p, yh * quant_step, q_idx)[:real]
+                for yh, (_s, real) in zip(y_hats, chunks)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def entropy_map(self, y, q_idx: int = 0):
         """Per-element hard-quant bit map (ablation-study helper;

@@ -164,7 +164,8 @@ class CodecRuntime:
     """
 
     def __init__(self, spec: CodecSpec, params, dtype=None, stream_part: int = 1,
-                 mesh=None, z_format: str = "rans"):
+                 mesh=None, z_format: str = "rans",
+                 device_entropy: str = "auto"):
         """``mesh``: optional ``jax.sharding.Mesh`` — inputs get batch/tile
         sharding and params are replicated, so one process drives all chips
         (the reference's NCCL-DDP inference counterpart,
@@ -228,6 +229,22 @@ class CodecRuntime:
         assert z_format in ("rans", "torchac"), z_format
         self.z_format = z_format
         self.z_torchac = UniformTorchacCodec(K)
+        assert device_entropy in ("auto", "host", "device"), device_entropy
+        self.device_entropy = device_entropy
+
+    def _use_device_entropy(self, h_bit_stream: bytes, latent_shape) -> bool:
+        """Decide the h-stream decode path.  The on-device Pallas decoder
+        wins when its ~2.6 us/serial-position cost beats the host path's 4
+        tunnel round trips — i.e. on TPU with >= 4 substreams; ``"device"``
+        forces it (tests / CPU interpret mode)."""
+        if self.device_entropy == "host":
+            return False
+        if not self.h_coder.can_decompress_on_device(h_bit_stream, latent_shape):
+            return False
+        if self.device_entropy == "device":
+            return True
+        nparts = (h_bit_stream[0] >> 4) + 1
+        return jax.default_backend() == "tpu" and nparts >= 4
 
     def _new_z_coder(self):
         K = self.spec.titok.codebook_size
@@ -328,10 +345,11 @@ class CodecRuntime:
 
         results = []
         feat_shape_1 = (1, h.shape[1], h.shape[2], h.shape[3])
+        with timed_stage(timer, "h_rans"):
+            # per-image streams fan out over the native-coder pool
+            h_streams = self.h_coder.encode_packed_many(packed)
         for b in range(B):
-            with timed_stage(timer, "h_rans"):
-                h_stream = self.h_coder.encode_packed(
-                    packed[:, :, b:b + 1])
+            h_stream = h_streams[b]
             with timed_stage(timer, "z_rans"):
                 idx_np = z_np[b * n_tiles:(b + 1) * n_tiles].reshape(-1)
                 z_stream = self._encode_z(idx_np)
@@ -386,7 +404,13 @@ class CodecRuntime:
         B, Hf, Wf, _ = fs
         latent_shape = (B, Hf, Wf, self.spec.quant_dim)
         with timed_stage(timer, "h_rans"):
-            h_hat = self.h_coder.decompress(h_bit_stream, latent_shape, q_idx=0)
+            if self._use_device_entropy(h_bit_stream, latent_shape):
+                # fully device-resident: ONE round trip instead of 4
+                h_hat = self.h_coder.decompress_device(
+                    h_bit_stream, latent_shape, q_idx=0)
+            else:
+                h_hat = self.h_coder.decompress(
+                    h_bit_stream, latent_shape, q_idx=0)
         z_indices = z_future.result()
         with timed_stage(timer, "decode_device"):
             return self._decode(self.params, z_indices, h_hat, tuple(stack_shape))

@@ -67,3 +67,18 @@ def test_batched_decode_rejects_mixed_shapes(rt):
     e2 = rt.encode_only(x2)
     with pytest.raises(AssertionError):
         rt.decode_only_batched([e1, e2])
+
+
+def test_decode_only_device_entropy_matches_host():
+    """decode_only with the on-device Pallas rANS path (forced) must equal
+    the host-coder path exactly, through the full codec."""
+    spec = tiny_spec()
+    _, params = init_codec(spec, jax.random.PRNGKey(0))
+    rt_host = CodecRuntime(spec, params, stream_part=4, device_entropy="host")
+    rt_dev = CodecRuntime(spec, params, stream_part=4, device_entropy="device")
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 256, 256, 3)).astype(np.float32))
+    enc = rt_host.encode_only(x)
+    a = rt_host.decode_only(**enc)
+    b = rt_dev.decode_only(**enc)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -88,3 +88,41 @@ def test_entropy_map_helpers():
     # bit-map total is the estimator behind bpp_est
     est_bits = float(jnp.sum(info["entropy_map"]))
     assert est_bits == pytest.approx(info["bpp_est"] * 64 * 64, rel=1e-3)
+
+
+@pytest.mark.parametrize("stream_part", [1, 2, 4])
+def test_decompress_device_matches_host(stream_part):
+    """The fully device-resident decode (Pallas rANS kernel chained between
+    the shared prior/recon executables) must reproduce the host path
+    bit-exactly — same stream, same index planes, same y_hat."""
+    mod = CompressiveBottleneck(feat_dim=FEAT, quant_dim=QUANT, bpp_num=1)
+    y0 = jnp.zeros((1, 8, 8, FEAT))
+    params = mod.init(jax.random.PRNGKey(0), y0, img_hw=(256, 256))
+    c = BottleneckCoder(mod, params, force_zero_thres=0.12,
+                        stream_part=stream_part)
+    y = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, FEAT)) * 2.0
+    stream, y_hat_enc = c.compress(y)
+    feat_shape = (1, 8, 8, QUANT)
+    assert c.can_decompress_on_device(stream, feat_shape)
+    host = c.decompress(stream, feat_shape)
+    dev = c.decompress_device(stream, feat_shape)
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(host))
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(y_hat_enc))
+
+
+def test_batch_encoded_streams_decode_per_image_bit_exact(coder):
+    """The coding trajectory runs at CODING_BATCH on both sides, so a
+    stream produced inside a batched encode decodes bit-exactly as a
+    single image (the CLI-batched-compress -> service-single-decompress
+    pattern; on TPU different-batch executables measurably diverge in
+    bf16, desynchronizing the stream — see BottleneckCoder.CODING_BATCH)."""
+    B = 3
+    y = jax.random.normal(jax.random.PRNGKey(9), (B, 8, 8, FEAT)) * 2.0
+    packed, y_hat_enc = coder.compress_plan(y)
+    packed_np = np.asarray(packed)
+    for b in range(B):
+        stream_b = coder.encode_packed(packed_np[:, :, b:b + 1])
+        y_hat_b = coder.decompress(stream_b, (1, 8, 8, QUANT))
+        assert float(jnp.sum(jnp.abs(y_hat_b - y_hat_enc[b:b + 1]))) == 0.0
+        dev_b = coder.decompress_device(stream_b, (1, 8, 8, QUANT))
+        np.testing.assert_array_equal(np.asarray(dev_b), np.asarray(y_hat_b))

@@ -45,7 +45,15 @@ def _install_stubs():
           MS_SSIM=type("MS_SSIM", (), {
               "__init__": lambda self, *a, **k: None}))
     _stub("lpips", LPIPS=type("LPIPS", (), {}))
-    _stub("omegaconf", OmegaConf=type("OmegaConf", (), {}))
+    # functional create: the reference titok module binds OmegaConf at
+    # import time, so a later (richer) stub can't fix an inert one —
+    # test_titok.py relies on create working whichever test imports first
+    class _NS:
+        def __init__(self, d):
+            for k, v in d.items():
+                setattr(self, k, _NS(v) if isinstance(v, dict) else v)
+    _stub("omegaconf", OmegaConf=type(
+        "OmegaConf", (), {"create": staticmethod(lambda d: _NS(dict(d)))}))
     _stub("requests")
     pl = _stub("pytorch_lightning", LightningModule=torch.nn.Module)
     util = _stub("pytorch_lightning.utilities",

@@ -113,3 +113,43 @@ def test_decode_only_rejects_inconsistent_token_geometry():
         rt.decode_only(**base, token_length=1 << 30)   # absurd allocation
     with pytest.raises(ValueError):
         rt.decode_only(**base, token_length=9)         # != prod(zshape)
+
+
+def test_device_decoder_survives_malformed_streams():
+    """The on-device (Pallas) decode path must terminate cleanly on
+    bit-flipped and truncated payloads (bounded escape loops in the kernel)
+    and reject inconsistent substream framing, like the host decoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from sic_tpu.models.bottleneck import BottleneckCoder, CompressiveBottleneck
+    from sic_tpu.ops.rans_decode import split_substreams
+
+    mod = CompressiveBottleneck(feat_dim=16, quant_dim=8, bpp_num=1)
+    y0 = jnp.zeros((1, 8, 8, 16))
+    params = mod.init(jax.random.PRNGKey(0), y0, img_hw=(256, 256))
+    c = BottleneckCoder(mod, params, force_zero_thres=0.12, stream_part=2)
+    y = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 16)) * 2.0
+    stream, _ = c.compress(y)
+    feat_shape = (1, 8, 8, 8)
+
+    # bit-flipped payload: garbage output, no hang/crash
+    bad = bytearray(stream)
+    for i in range(1, len(bad), 5):
+        bad[i] ^= 0x5A
+    out = c.decompress_device(bytes(bad), feat_shape)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # truncated payload: either rejected up front (framing inconsistent)
+    # or decodes to garbage cleanly — never a hang or crash
+    keep = max(5, len(stream) // 3)
+    try:
+        out = c.decompress_device(stream[:keep], feat_shape)
+        assert np.isfinite(np.asarray(out)).all()
+    except ValueError:
+        pass
+    # inconsistent framing raises like the host coder
+    with pytest.raises(ValueError):
+        c.decompress_device(bytes([0x11, 0xFF, 0xFF]) + b"\x00" * 8,
+                            feat_shape)
+    assert split_substreams(stream)  # sanity: valid stream still parses
