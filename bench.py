@@ -248,13 +248,14 @@ def main():
     result["decode_p50_ms_hostpath"] = round(p50_h, 1)
     x_host = np.asarray(rt.decode_only(**encs[0]))
     rt.device_entropy = "auto"
-    assert np.array_equal(x_auto, x_host), \
-        "device-entropy decode diverged from host path"
-    result["device_rans_check"] = "pass"
-    from sic_tpu.models import CodecRuntime
-    rt1 = CodecRuntime(rt.spec, params, dtype=jnp.bfloat16, stream_part=1)
-    p50_1, _ = decode_latency(rt1, encs[0], reps=max(5, LAT_REPS // 2))
-    result["decode_p50_ms_sp1"] = round(p50_1, 1)
+    if jax.devices()[0].platform == "tpu":
+        # off-TPU the auto policy resolves to the host path too, which
+        # would make this comparison vacuous
+        assert np.array_equal(x_auto, x_host), \
+            "device-entropy decode diverged from host path"
+        result["device_rans_check"] = "pass"
+    else:
+        result["device_rans_check"] = "skipped_not_tpu"
 
     flops = compiled_flops(rt, rt.params, jnp.zeros((1, SIZE, SIZE, 3)))
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind.lower(), 197e12)

@@ -104,6 +104,9 @@ def compress_dir(rt, clip_codec, dataset_dir, save_dir, tile_px: int = 256,
                 # wire format of the semantic stream; absent in
                 # reference-produced files (which are torchac-coded)
                 "z_coder": rt.z_format,
+                # h-stream coding contract: the decode-side trajectory must
+                # replay at this coding batch (see BottleneckCoder)
+                "coding_batch": rt.h_coder.coding_batch,
             }
             out_path = bit_dir / f"{path.stem}.c2df"
             out_path.write_bytes(pack_c2df(enc_result, header))
@@ -143,7 +146,10 @@ def main(argv=None):
                         help="accepted for surface parity; devices are "
                              "managed by the JAX mesh")
     parser.add_argument("--stream_part", type=int, default=None,
-                        help="rANS substreams per stream (threaded host coding); default 1 for reference wire parity")
+                        help="rANS substreams per stream (default 4: threaded host "
+                             "coding + on-device decode; still "
+                             "reference-decodable — the flag byte carries "
+                             "the part count)")
     parser.add_argument("--world_size", type=int, default=None,
                         help="number of processes (default: WORLD_SIZE env)")
     parser.add_argument("--rank", type=int, default=None,

@@ -51,6 +51,9 @@ def decompress_dir(rt, dataset_dir, save_dir, batch_size: int = 8):
         enc_result["z_coder"] = header.get("z_coder", "torchac")
         # files without the marker predate this framework: they are
         # reference-produced and torchac-coded (codec_sq_fixbpp.py:861-864)
+        # the h-stream coding contract the file was written under (the
+        # decode trajectory must replay at the same coding batch)
+        enc_result["coding_batch"] = header.get("coding_batch")
         key = (tuple(enc_result["stack_shape"]),
                tuple(enc_result["feat_shape"]),
                int(enc_result["token_length"]))
@@ -73,7 +76,10 @@ def main(argv=None):
     parser.add_argument("--gpu_idx", type=int, default=0,
                         help="accepted for surface parity")
     parser.add_argument("--stream_part", type=int, default=None,
-                        help="rANS substreams per stream (threaded host coding); default 1 for reference wire parity")
+                        help="rANS substreams per stream (default 4: threaded host "
+                             "coding + on-device decode; still "
+                             "reference-decodable — the flag byte carries "
+                             "the part count)")
     args = parser.parse_args(argv)
 
     t0 = time.time()

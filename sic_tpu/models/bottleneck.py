@@ -162,6 +162,9 @@ class BottleneckCoder:
         # device round trips
         self._dec_pool: "queue.SimpleQueue" = queue.SimpleQueue()
         self._dec_pool.put((self.coder, self.cdf_group))
+        # encoder pool for encode_packed_many (NOT seeded with self.coder:
+        # its encoder half is owned by encode_packed under self.lock)
+        self._enc_pool: "queue.SimpleQueue" = queue.SimpleQueue()
 
         apply = module.apply
 
@@ -339,13 +342,30 @@ class BottleneckCoder:
     def encode_packed_many(self, packed: np.ndarray, workers: int = 8) -> list:
         """Per-image host rANS over a batched packed array (4, 2, B, ...):
         images fan out over a pool of native encoders (the ctypes calls
-        release the GIL), instead of serializing on the shared coder."""
+        release the GIL), instead of serializing on the shared coder.
+
+        Uses a dedicated encoder pool: the decoder pool is seeded with
+        ``self.coder``, whose ENCODER half belongs to ``encode_packed``
+        under ``self.lock`` — sharing it here would race concurrent
+        ``compress`` calls on one stateful native encoder."""
+        import os
         from concurrent.futures import ThreadPoolExecutor
 
         B = packed.shape[2]
+        workers = min(workers, os.cpu_count() or 1, B)
+        if B == 1 or workers <= 1:
+            # single-core hosts: the fan-out only adds scheduling overhead
+            return [self.encode_packed(packed[:, :, b:b + 1])
+                    for b in range(B)]
 
         def _enc(b):
-            coder, group = self._checkout_decoder()
+            try:
+                coder, group = self._enc_pool.get_nowait()
+            except Exception:
+                coder = EntropyCoder(self.stream_part)
+                group = coder.add_cdf(self.tables.quantized_cdf,
+                                      self.tables.cdf_length,
+                                      self.tables.offset)
             try:
                 coder.reset()
                 for step in range(packed.shape[0]):
@@ -354,10 +374,8 @@ class BottleneckCoder:
                 coder.flush()
                 return coder.get_encoded_stream()
             finally:
-                self._checkin_decoder((coder, group))
+                self._enc_pool.put((coder, group))
 
-        if B == 1:
-            return [self.encode_packed(packed)]
         with ThreadPoolExecutor(max_workers=min(workers, B)) as pool:
             return list(pool.map(_enc, range(B)))
 
@@ -370,50 +388,68 @@ class BottleneckCoder:
         packed, y_hat = self.compress_plan(y, q_idx)
         return self.encode_packed(np.asarray(packed)), y_hat
 
-    def decompress(self, bit_stream: bytes, feat_shape, q_idx: int = 0):
-        """feat_shape: (B, H, W, quant_dim) of the transformed latent.
+    def _run_decode_chain(self, feat_shape, q_idx, get_symbols,
+                          coding_batch: Optional[int] = None):
+        """Shared 4-step autoregressive decode driver.
 
-        The prior/recon chain runs at CODING_BATCH (pad images beyond B are
-        zeros and consume no stream bytes), reproducing the encoder's float
-        trajectory exactly regardless of either side's batch size."""
+        The prior/recon chain runs at the coding batch (pad images beyond B
+        are zeros and consume no stream bytes), reproducing the encoder's
+        float trajectory exactly regardless of either side's batch size.
+        ``get_symbols(step, idx_c, chunks, Bc)`` supplies each chunk's
+        Bc-padded int symbol plane (host array or device array) — the only
+        thing that differs between the host-coder, threaded-batched, and
+        on-device (Pallas) decode paths."""
         p = self.params
         B, H, W, C = feat_shape
-        Bc = self.coding_batch
-        chunks = self._chunk_batches(B)
-        coder, group = self._checkout_decoder()
-        try:
-            coder.set_stream(bit_stream)
-            quant_step, _scales, means0, common, idx0 = self._prior(
-                p, (Bc, H, W), q_idx)
-
-            y_hats = [jnp.zeros((Bc, H, W, C), dtype=quant_step.dtype)
-                      for _ in chunks]
-            means_c = [means0] * len(chunks)
-            idx_c = [idx0] * len(chunks)
-            for step in range(4):
-                if step > 0:
-                    for ci in range(len(chunks)):
-                        _s, means_c[ci], idx_c[ci] = self._spatial_step(
-                            p, step, y_hats[ci], common)
-                # ONE transfer round for all chunks' index planes
-                idx_np = jax.device_get(idx_c)
-                idx_real = np.concatenate(
-                    [a[:real] for a, (_s2, real) in zip(idx_np, chunks)])
-                sym_np = coder.decode_stream(idx_real, group)
-                sym_np = sym_np.reshape(idx_real.shape)
-                off = 0
-                for ci, (_start, real) in enumerate(chunks):
-                    sp = np.zeros((Bc,) + sym_np.shape[1:], np.int16)
-                    sp[:real] = sym_np[off:off + real]
-                    off += real
-                    y_hats[ci] = y_hats[ci] + self._recon_step(
-                        jnp.asarray(sp), means_c[ci], step)
-        finally:
-            self._checkin_decoder((coder, group))
-
+        Bc = coding_batch or self.coding_batch
+        chunks = [(s, min(Bc, B - s)) for s in range(0, B, Bc)]
+        quant_step, _scales, means0, common, idx0 = self._prior(
+            p, (Bc, H, W), q_idx)
+        y_hats = [jnp.zeros((Bc, H, W, C), dtype=quant_step.dtype)
+                  for _ in chunks]
+        means_c = [means0] * len(chunks)
+        idx_c = [idx0] * len(chunks)
+        for step in range(4):
+            if step > 0:
+                for ci in range(len(chunks)):
+                    _s, means_c[ci], idx_c[ci] = self._spatial_step(
+                        p, step, y_hats[ci], common)
+            sym_chunks = get_symbols(step, idx_c, chunks, Bc)
+            for ci in range(len(chunks)):
+                y_hats[ci] = y_hats[ci] + self._recon_step(
+                    jnp.asarray(sym_chunks[ci]), means_c[ci], step)
         outs = [self._decode_transform(p, yh * quant_step, q_idx)[:real]
                 for yh, (_s, real) in zip(y_hats, chunks)]
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def decompress(self, bit_stream: bytes, feat_shape, q_idx: int = 0,
+                   coding_batch: Optional[int] = None):
+        """feat_shape: (B, H, W, quant_dim) of the transformed latent.
+        ``coding_batch``: the stream's coding contract if it differs from
+        this coder's default (carried in the c2df header)."""
+        coder, group = self._checkout_decoder()
+
+        def get_symbols(step, idx_c, chunks, Bc):
+            # ONE transfer round for all chunks' index planes
+            idx_np = jax.device_get(idx_c)
+            idx_real = np.concatenate(
+                [a[:real] for a, (_s2, real) in zip(idx_np, chunks)])
+            sym_np = coder.decode_stream(idx_real, group)
+            sym_np = sym_np.reshape(idx_real.shape)
+            out, off = [], 0
+            for _start, real in chunks:
+                sp = np.zeros((Bc,) + sym_np.shape[1:], np.int16)
+                sp[:real] = sym_np[off:off + real]
+                off += real
+                out.append(sp)
+            return out
+
+        try:
+            coder.set_stream(bit_stream)
+            return self._run_decode_chain(feat_shape, q_idx, get_symbols,
+                                          coding_batch)
+        finally:
+            self._checkin_decoder((coder, group))
 
     def can_decompress_on_device(self, bit_stream: bytes, feat_shape) -> bool:
         """The on-device decoder needs equal-size substream chunks (true for
@@ -427,7 +463,8 @@ class BottleneckCoder:
         return n_step % nparts == 0 and (n_step // nparts) >= 1
 
     def decompress_device(self, bit_stream: bytes, feat_shape, q_idx: int = 0,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          coding_batch: Optional[int] = None):
         """Fully device-resident decompress: the four autoregressive steps
         chain prior-CNN -> Pallas rANS decode -> reconstruction dispatches
         asynchronously, so the host boundary is crossed once for the stream
@@ -442,10 +479,7 @@ class BottleneckCoder:
         """
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        p = self.params
         B, H, W, C = feat_shape
-        Bc = self.coding_batch
-        chunks = self._chunk_batches(B)
 
         parts = split_substreams(bit_stream)
         nparts = len(parts)
@@ -455,97 +489,78 @@ class BottleneckCoder:
         words_np, lens_np, state_np = pack_substreams(parts)
         words = jnp.asarray(words_np)
         lens = jnp.asarray(lens_np)
-        st = jnp.asarray(state_np)
         s_pad = words.shape[0]
+        state = {"st": jnp.asarray(state_np)}
 
-        quant_step, _scales, means0, common, idx0 = self._prior(
-            p, (Bc, H, W), q_idx)
-        y_hats = [jnp.zeros((Bc, H, W, C), dtype=quant_step.dtype)
-                  for _ in chunks]
-        means_c = [means0] * len(chunks)
-        idx_c = [idx0] * len(chunks)
-        plane_shape = None
-        for step in range(4):
-            if step > 0:
-                for ci in range(len(chunks)):
-                    _s, means_c[ci], idx_c[ci] = self._spatial_step(
-                        p, step, y_hats[ci], common)
+        def get_symbols(step, idx_c, chunks, Bc):
             idx_real = (idx_c[0][:B] if len(chunks) == 1 else
                         jnp.concatenate(
                             [a[:real] for a, (_s2, real)
                              in zip(idx_c, chunks)], axis=0))
-            plane_shape = idx_real.shape
             rows = self._idx_rows(idx_real, nparts, s_pad)
-            sym, st = rans_decode_plane(rows, words, lens, st,
-                                        self._dev_cdf, self._dev_cdf_len,
-                                        self._dev_cdf_off, interpret=interpret)
-            sym_plane = sym[:nparts].reshape(plane_shape)
-            for ci, (start, real) in enumerate(chunks):
+            sym, state["st"] = rans_decode_plane(
+                rows, words, lens, state["st"], self._dev_cdf,
+                self._dev_cdf_len, self._dev_cdf_off, interpret=interpret)
+            sym_plane = sym[:nparts].reshape(idx_real.shape)
+            out = []
+            for start, real in chunks:
                 sp = sym_plane[start:start + real]
                 if real < Bc:
                     sp = jnp.pad(sp, ((0, Bc - real),) + ((0, 0),) * 3)
-                y_hats[ci] = y_hats[ci] + self._recon_step(sp, means_c[ci],
-                                                           step)
-        outs = [self._decode_transform(p, yh * quant_step, q_idx)[:real]
-                for yh, (_s, real) in zip(y_hats, chunks)]
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+                out.append(sp)
+            return out
+
+        return self._run_decode_chain(feat_shape, q_idx, get_symbols,
+                                      coding_batch)
 
     def decompress_batched(self, bit_streams, latent_shape, q_idx: int = 0,
-                           workers: int = 8):
+                           workers: int = 8,
+                           coding_batch: Optional[int] = None):
         """Decode B independent per-image streams with BATCHED device steps:
-        each of the 4 autoregressive steps runs ONE prior eval + ONE
+        each of the 4 autoregressive steps runs ONE prior eval round + ONE
         index-plane fetch for all B images, and the per-image host rANS
         decodes fan out on threads.  4 host syncs total instead of 4*B —
         the device-batching dual of ``CodecRuntime.encode_only_batched``.
 
         ``latent_shape``: (1, H, W, quant_dim) of each image's coded latent
-        (all streams must share it).  Bit-exact with per-image decode when
-        the encode ran at the same batch size (same compiled functions, same
-        materialized planes)."""
+        (all streams must share it).  Bit-exact with per-image decode at any
+        batch size (the trajectory always runs at the coding batch)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        p = self.params
         B = len(bit_streams)
-        Bc = self.coding_batch
-        chunks = self._chunk_batches(B)
         _, H, W, C = latent_shape
         coders = [self._checkout_decoder() for _ in bit_streams]
+
+        def make_get_symbols(pool):
+            def get_symbols(step, idx_c, chunks, Bc):
+                idx_np = jax.device_get(idx_c)   # ONE round for all B
+
+                def _dec(i):
+                    coder, group = coders[i]
+                    ci, off = divmod(i, Bc)
+                    return coder.decode_stream(idx_np[ci][off], group)
+
+                syms = list(pool.map(_dec, range(B)))
+                out = []
+                for ci, (start, real) in enumerate(chunks):
+                    sp = np.zeros((Bc,) + idx_np[ci].shape[1:], np.int16)
+                    sp[:real] = np.stack(
+                        syms[start:start + real]).reshape(
+                            (real,) + idx_np[ci].shape[1:])
+                    out.append(sp)
+                return out
+            return get_symbols
+
         try:
             for (coder, _g), stream in zip(coders, bit_streams):
                 coder.set_stream(stream)
-            quant_step, _scales, means0, common, idx0 = self._prior(
-                p, (Bc, H, W), q_idx)
-            y_hats = [jnp.zeros((Bc, H, W, C), dtype=quant_step.dtype)
-                      for _ in chunks]
-            means_c = [means0] * len(chunks)
-            idx_c = [idx0] * len(chunks)
             with ThreadPoolExecutor(max_workers=min(workers, B)) as pool:
-                for step in range(4):
-                    if step > 0:
-                        for ci in range(len(chunks)):
-                            _s, means_c[ci], idx_c[ci] = self._spatial_step(
-                                p, step, y_hats[ci], common)
-                    idx_np = jax.device_get(idx_c)   # ONE round for all B
-
-                    def _dec(i):
-                        coder, group = coders[i]
-                        ci, off = divmod(i, Bc)
-                        return coder.decode_stream(idx_np[ci][off], group)
-
-                    syms = list(pool.map(_dec, range(B)))
-                    for ci, (start, real) in enumerate(chunks):
-                        sp = np.zeros((Bc,) + idx_np[ci].shape[1:], np.int16)
-                        sp[:real] = np.stack(
-                            syms[start:start + real]).reshape(
-                                (real,) + idx_np[ci].shape[1:])
-                        y_hats[ci] = y_hats[ci] + self._recon_step(
-                            jnp.asarray(sp), means_c[ci], step)
+                return self._run_decode_chain(
+                    (B, H, W, C), q_idx, make_get_symbols(pool),
+                    coding_batch)
         finally:
             for item in coders:
                 self._checkin_decoder(item)
-        outs = [self._decode_transform(p, yh * quant_step, q_idx)[:real]
-                for yh, (_s, real) in zip(y_hats, chunks)]
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def entropy_map(self, y, q_idx: int = 0):
         """Per-element hard-quant bit map (ablation-study helper;

@@ -366,11 +366,18 @@ class CodecRuntime:
 
     def decode_only(self, z_bit_stream, h_bit_stream, img_shape, feat_shape,
                     stack_shape, token_length, z_indices_shape,
-                    timer=None, z_coder: str = "rans", **_ignored) -> jax.Array:
+                    timer=None, z_coder: str = "rans",
+                    coding_batch=None, **_ignored) -> jax.Array:
         """Returns x_hat (B, H, W, 3) clamped to [-1, 1].
 
         ``z_coder``: wire format of ``z_bit_stream`` — ``"rans"`` (ours) or
-        ``"torchac"`` (reference-produced ``.c2df``)."""
+        ``"torchac"`` (reference-produced ``.c2df``).
+        ``coding_batch``: the h-stream's coding contract if the file header
+        carries one (None = this runtime's default)."""
+        if coding_batch is not None:
+            coding_batch = int(coding_batch)
+            if not (1 <= coding_batch <= 512):
+                raise ValueError(f"bad coding_batch: {coding_batch}")
         from ..utils.profiling import timed_stage
 
         # reference files store torch z_quantized.shape (BT, token_size, 1,
@@ -407,10 +414,12 @@ class CodecRuntime:
             if self._use_device_entropy(h_bit_stream, latent_shape):
                 # fully device-resident: ONE round trip instead of 4
                 h_hat = self.h_coder.decompress_device(
-                    h_bit_stream, latent_shape, q_idx=0)
+                    h_bit_stream, latent_shape, q_idx=0,
+                    coding_batch=coding_batch)
             else:
                 h_hat = self.h_coder.decompress(
-                    h_bit_stream, latent_shape, q_idx=0)
+                    h_bit_stream, latent_shape, q_idx=0,
+                    coding_batch=coding_batch)
         z_indices = z_future.result()
         with timed_stage(timer, "decode_device"):
             return self._decode(self.params, z_indices, h_hat, tuple(stack_shape))
@@ -453,9 +462,14 @@ class CodecRuntime:
         if fs[1] == self.spec.feat_width and fs[-1] != self.spec.feat_width:
             fs = (fs[0], fs[2], fs[3], fs[1])
         latent_shape = (1, fs[1], fs[2], self.spec.quant_dim)
+        cb = first.get("coding_batch")
+        cb = int(cb) if cb is not None else None
+        if cb is not None and not (1 <= cb <= 512):
+            raise ValueError(f"bad coding_batch: {cb}")
         with timed_stage(timer, "h_rans"):
             h_hat = self.h_coder.decompress_batched(
-                [e["h_bit_stream"] for e in enc_results], latent_shape)
+                [e["h_bit_stream"] for e in enc_results], latent_shape,
+                coding_batch=cb)
         z_indices = z_future.result()
         with timed_stage(timer, "decode_device"):
             return self._decode(self.params, z_indices, h_hat,

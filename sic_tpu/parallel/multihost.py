@@ -47,12 +47,16 @@ def setup_distributed(rank: Optional[int] = None, world: Optional[int] = None,
             "multi-process run needs a coordinator address "
             "(--coordinator or MASTER_ADDR/MASTER_PORT)")
     import jax
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        # The default CPU collectives implementation is single-process:
-        # without gloo, jax.process_count() stays 1 after initialize and
-        # every barrier silently no-ops (a rank-0 merge could then race
-        # ahead of the other ranks' writes).
+    # The default CPU collectives implementation is single-process: without
+    # gloo, jax.process_count() stays 1 after initialize and every barrier
+    # silently no-ops (a rank-0 merge could then race ahead of the other
+    # ranks' writes).  Set it unconditionally — it only affects the cpu
+    # backend, which may be selected in ways the environment doesn't show
+    # (no accelerator present, JAX_PLATFORM_NAME, in-code config).
+    try:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older jax without the option
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=world, process_id=rank)
     return rank, world
