@@ -35,11 +35,13 @@ import numpy as np
 # on this container's CPU (see BASELINE.md north-star: >=10x CPU).
 CPU_BASELINE_IMG_S = 0.0111
 
+import os
+
 SIZE = 512
 # batch size: the 4 autoregressive decode syncs and the encode fetch are
 # per-BATCH costs (tunnel RTT ~30 ms each); 32 amortizes them to <5 ms/img
 # and puts the pipeline within ~10% of the pure device-compute ceiling
-ITERS = 32
+ITERS = int(os.environ.get("SIC_BENCH_BATCH", "32"))
 LAT_REPS = 15
 PEAK_FLOPS = {"tpu v5 lite": 197e12, "tpu v5e": 197e12}  # bf16 peak / chip
 
@@ -216,6 +218,20 @@ def decode_latency(rt, enc, reps: int = LAT_REPS):
     return ts[len(ts) // 2], ts[int(len(ts) * 0.9)]
 
 
+def encode_latency(rt, reps: int = LAT_REPS):
+    """Single-request encode latency p50 (ms): what /compress callers feel."""
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, SIZE, SIZE, 3),
+                           minval=-1.0, maxval=1.0)
+    rt.encode_only(x)                 # warm (jit-cached from the batch=1 path)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rt.encode_only(x)             # returns bytes: fully synchronous
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
 def main():
     import sys
     rt, params = build(stream_part=4)
@@ -242,6 +258,7 @@ def main():
     p50, p90 = decode_latency(rt, encs[0])
     result["decode_p50_ms"] = round(p50, 1)
     result["decode_p90_ms"] = round(p90, 1)
+    result["encode_p50_ms"] = round(encode_latency(rt), 1)
     x_auto = np.asarray(rt.decode_only(**encs[0]))
     rt.device_entropy = "host"
     p50_h, _ = decode_latency(rt, encs[0], reps=max(5, LAT_REPS // 2))

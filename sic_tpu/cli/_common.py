@@ -40,9 +40,10 @@ def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
                  dtype=None, stream_part: Optional[int] = None):
     """Build a CodecRuntime from config + optional checkpoint.
 
-    ``stream_part``: rANS substreams per stream (threaded host coding;
-    reference: py_rans.cpp:91-136).  Default 1 keeps exact wire parity with
-    the reference coder config; SIC_STREAM_PART overrides."""
+    ``stream_part``: rANS substreams per stream (reference:
+    py_rans.cpp:91-136).  Default 4 enables the on-device decode path and
+    threaded host coding while staying reference-decodable (the flag byte
+    carries the part count); SIC_STREAM_PART overrides."""
     import os
 
     import jax

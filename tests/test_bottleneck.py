@@ -126,3 +126,19 @@ def test_batch_encoded_streams_decode_per_image_bit_exact(coder):
         assert float(jnp.sum(jnp.abs(y_hat_b - y_hat_enc[b:b + 1]))) == 0.0
         dev_b = coder.decompress_device(stream_b, (1, 8, 8, QUANT))
         np.testing.assert_array_equal(np.asarray(dev_b), np.asarray(y_hat_b))
+
+
+def test_decode_honors_stream_coding_batch():
+    """A stream written under a different coding batch decodes bit-exactly
+    when the decoder replays that contract (carried in the c2df header)."""
+    mod = CompressiveBottleneck(feat_dim=FEAT, quant_dim=QUANT, bpp_num=1)
+    y0 = jnp.zeros((1, 8, 8, FEAT))
+    params = mod.init(jax.random.PRNGKey(0), y0, img_hw=(256, 256))
+    enc4 = BottleneckCoder(mod, params, force_zero_thres=0.12, coding_batch=4)
+    dec8 = BottleneckCoder(mod, params, force_zero_thres=0.12)  # default 8
+    y = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, FEAT)) * 2.0
+    stream, y_hat_enc = enc4.compress(y)
+    got = dec8.decompress(stream, (1, 8, 8, QUANT), coding_batch=4)
+    assert float(jnp.sum(jnp.abs(got - y_hat_enc))) == 0.0
+    got_dev = dec8.decompress_device(stream, (1, 8, 8, QUANT), coding_batch=4)
+    np.testing.assert_array_equal(np.asarray(got_dev), np.asarray(got))
