@@ -259,6 +259,16 @@ def main():
     result["decode_p50_ms"] = round(p50, 1)
     result["decode_p90_ms"] = round(p90, 1)
     result["encode_p50_ms"] = round(encode_latency(rt), 1)
+    # serving path: u8 pixels converted on device (4x smaller fetch)
+    x = rt.decode_only(**encs[0], output="u8")
+    jax.block_until_ready(x)
+    ts_u8 = []
+    for _ in range(max(5, LAT_REPS // 2)):
+        t0 = time.perf_counter()
+        np.asarray(rt.decode_only(**encs[0], output="u8"))
+        ts_u8.append((time.perf_counter() - t0) * 1000.0)
+    ts_u8.sort()
+    result["decode_p50_ms_u8"] = round(ts_u8[len(ts_u8) // 2], 1)
     x_auto = np.asarray(rt.decode_only(**encs[0]))
     rt.device_entropy = "host"
     p50_h, _ = decode_latency(rt, encs[0], reps=max(5, LAT_REPS // 2))

@@ -83,7 +83,9 @@ def load_clip_codec(clip_ckpt: Optional[str] = None,
 
 
 def save_png(path, img_array):
-    """(H, W, 3) in [-1, 1] -> PNG file."""
+    """(H, W, 3) in [-1, 1] floats (or ready uint8 pixels) -> PNG file."""
     from PIL import Image
-    u8 = np.clip((np.asarray(img_array) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    a = np.asarray(img_array)
+    u8 = a if a.dtype == np.uint8 else \
+        np.clip((a + 1.0) * 127.5, 0, 255).astype(np.uint8)
     Image.fromarray(u8).save(path)

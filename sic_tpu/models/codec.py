@@ -195,8 +195,18 @@ class CodecRuntime:
             return apply(p, z_indices, h_hat, stack_shape,
                          method=Codec.decode_stage)
 
+        @functools.partial(jax.jit, static_argnames=("stack_shape",))
+        def _decode_u8(p, z_indices, h_hat, stack_shape):
+            """Decode straight to uint8 pixels on device: the PNG-bound
+            callers (CLI/service) never need floats, and the u8 fetch is
+            4x smaller over the host link."""
+            x = apply(p, z_indices, h_hat, stack_shape,
+                      method=Codec.decode_stage)
+            return jnp.clip((x + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)
+
         self._encode = _encode
         self._decode = _decode
+        self._decode_u8 = _decode_u8
 
         # detail-stream coder over the bottleneck parameter subtree
         bn_params = {"params": params["params"]["hybrid_codec"]["quantize_feat"]}
@@ -367,8 +377,10 @@ class CodecRuntime:
     def decode_only(self, z_bit_stream, h_bit_stream, img_shape, feat_shape,
                     stack_shape, token_length, z_indices_shape,
                     timer=None, z_coder: str = "rans",
-                    coding_batch=None, **_ignored) -> jax.Array:
-        """Returns x_hat (B, H, W, 3) clamped to [-1, 1].
+                    coding_batch=None, output: str = "float",
+                    **_ignored) -> jax.Array:
+        """Returns x_hat (B, H, W, 3) clamped to [-1, 1], or uint8 pixels
+        with ``output="u8"`` (converted on device; 4x smaller fetch).
 
         ``z_coder``: wire format of ``z_bit_stream`` — ``"rans"`` (ours) or
         ``"torchac"`` (reference-produced ``.c2df``).
@@ -421,8 +433,9 @@ class CodecRuntime:
                     h_bit_stream, latent_shape, q_idx=0,
                     coding_batch=coding_batch)
         z_indices = z_future.result()
+        dec = self._decode_u8 if output == "u8" else self._decode
         with timed_stage(timer, "decode_device"):
-            return self._decode(self.params, z_indices, h_hat, tuple(stack_shape))
+            return dec(self.params, z_indices, h_hat, tuple(stack_shape))
 
     def decode_only_many(self, enc_results, workers: int = 4) -> list:
         """Concurrent decodes: each request checks out its own rANS decoder,
@@ -431,7 +444,8 @@ class CodecRuntime:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             return list(pool.map(lambda e: self.decode_only(**e), enc_results))
 
-    def decode_only_batched(self, enc_results, timer=None) -> jax.Array:
+    def decode_only_batched(self, enc_results, timer=None,
+                            output: str = "float") -> jax.Array:
         """Throughput decode for same-shaped streams (e.g. one
         ``encode_only_batched`` output): the 4 autoregressive steps run
         device-BATCHED over all B streams — 4 host syncs total instead of
@@ -471,9 +485,10 @@ class CodecRuntime:
                 [e["h_bit_stream"] for e in enc_results], latent_shape,
                 coding_batch=cb)
         z_indices = z_future.result()
+        dec = self._decode_u8 if output == "u8" else self._decode
         with timed_stage(timer, "decode_device"):
-            return self._decode(self.params, z_indices, h_hat,
-                                tuple(first["stack_shape"]))
+            return dec(self.params, z_indices, h_hat,
+                       tuple(first["stack_shape"]))
 
     def round_trip_pipelined(self, batches):
         """Two-stage software pipeline over a list of same-shape image
