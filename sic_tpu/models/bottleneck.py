@@ -121,6 +121,31 @@ class CompressiveBottleneck(nn.Module):
                        "bpp_noise": bpp_noise}
 
 
+@functools.partial(jax.jit, static_argnames=("nparts", "s_pad", "Bc",
+                                             "chunks", "interpret"))
+def _device_plane_step(idx_c, words, lens, st, cdf, cdf_len, cdf_off,
+                       nparts, s_pad, Bc, chunks, interpret):
+    """One fused device dispatch per autoregressive step of the on-device
+    decode: substream row assembly -> Pallas rANS kernel -> per-chunk
+    Bc-padded symbol planes.  ``chunks`` = ((start, real), ...)."""
+    B = sum(real for _s, real in chunks)
+    idx_real = (idx_c[0][:B] if len(chunks) == 1 else
+                jnp.concatenate([a[:real] for a, (_s, real)
+                                 in zip(idx_c, chunks)], axis=0))
+    rows = idx_real.astype(jnp.int32).reshape(nparts, -1)
+    rows = jnp.pad(rows, ((0, s_pad - nparts), (0, 0)), constant_values=-1)
+    sym, st2 = rans_decode_plane(rows, words, lens, st, cdf, cdf_len,
+                                 cdf_off, interpret=interpret)
+    sym_plane = sym[:nparts].reshape(idx_real.shape)
+    out = []
+    for start, real in chunks:
+        sp = sym_plane[start:start + real]
+        if real < Bc:
+            sp = jnp.pad(sp, ((0, Bc - real),) + ((0, 0),) * 3)
+        out.append(sp)
+    return tuple(out), st2
+
+
 class BottleneckCoder:
     """Host driver: real bitstream compress/decompress for a bottleneck.
 
@@ -238,17 +263,6 @@ class BottleneckCoder:
                            i.astype(jnp.int16)])
                 for s, i in planes])
 
-        @functools.partial(jax.jit, static_argnames=("nparts", "s_pad"))
-        def _idx_rows(idx, nparts, s_pad):
-            """(B, H, W, Cq) index plane -> (S, npos) int32 kernel rows:
-            contiguous flat chunks per substream (the C++ partition,
-            sic_rans.cc:300-305), padded to the kernel's 8-lane grouping
-            with skipped (idx = -1) rows."""
-            rows = idx.astype(jnp.int32).reshape(nparts, -1)
-            return jnp.pad(rows, ((0, s_pad - nparts), (0, 0)),
-                           constant_values=-1)
-
-        self._idx_rows = _idx_rows
         self._encode_transform = _encode_transform
         self._decode_transform = _decode_transform
         self._prior = _prior
@@ -493,21 +507,11 @@ class BottleneckCoder:
         state = {"st": jnp.asarray(state_np)}
 
         def get_symbols(step, idx_c, chunks, Bc):
-            idx_real = (idx_c[0][:B] if len(chunks) == 1 else
-                        jnp.concatenate(
-                            [a[:real] for a, (_s2, real)
-                             in zip(idx_c, chunks)], axis=0))
-            rows = self._idx_rows(idx_real, nparts, s_pad)
-            sym, state["st"] = rans_decode_plane(
-                rows, words, lens, state["st"], self._dev_cdf,
-                self._dev_cdf_len, self._dev_cdf_off, interpret=interpret)
-            sym_plane = sym[:nparts].reshape(idx_real.shape)
-            out = []
-            for start, real in chunks:
-                sp = sym_plane[start:start + real]
-                if real < Bc:
-                    sp = jnp.pad(sp, ((0, Bc - real),) + ((0, 0),) * 3)
-                out.append(sp)
+            out, state["st"] = _device_plane_step(
+                tuple(idx_c), words, lens, state["st"], self._dev_cdf,
+                self._dev_cdf_len, self._dev_cdf_off, nparts=nparts,
+                s_pad=s_pad, Bc=Bc, chunks=tuple(chunks),
+                interpret=interpret)
             return out
 
         return self._run_decode_chain(feat_shape, q_idx, get_symbols,
