@@ -159,21 +159,28 @@ def run(rt):
         pass
     rt.decode_only_many(rt.encode_only_batched(xb), workers=4)  # warm
 
+    # NOTE on timing: block_until_ready can return before completion over
+    # the axon tunnel, so every timed region ends with a materializing
+    # one-element fetch — the device executes its queue in FIFO order, so
+    # the last output's completion implies the whole batch finished.
+    def drain(x):
+        np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x)
+
     # pipeline A: batched encode (one device pass + one fetch for all
     # images, per-image bitstreams) + concurrent per-image decodes
     t0 = time.perf_counter()
     encs = rt.encode_only_batched(xb)
     outs = rt.decode_only_many(encs, workers=4)
-    jax.block_until_ready(outs[-1])
+    drain(outs[-1])
     dt_many = time.perf_counter() - t0
 
     # pipeline B: batched encode + BATCHED decode (device-batched
     # autoregressive steps: 4 host syncs total for the whole batch)
-    jax.block_until_ready(rt.decode_only_batched(encs))   # warm
+    drain(rt.decode_only_batched(encs))   # warm
     t0 = time.perf_counter()
     encs = rt.encode_only_batched(xb)
     xhat = rt.decode_only_batched(encs)
-    jax.block_until_ready(xhat)
+    drain(xhat)
     dt_batched = time.perf_counter() - t0
 
     # pipeline C: two batches in flight — batch k+1's encode overlaps
@@ -183,10 +190,10 @@ def run(rt):
                                                minval=-1.0, maxval=1.0)
                             for k in keys2[j * ITERS:(j + 1) * ITERS]], axis=0)
            for j in range(2)]
-    jax.block_until_ready(rt.round_trip_pipelined(xb2)[-1])   # warm
+    drain(rt.round_trip_pipelined(xb2)[-1])   # warm
     t0 = time.perf_counter()
     outs2 = rt.round_trip_pipelined(xb2)
-    jax.block_until_ready(outs2[-1])
+    drain(outs2[-1])
     dt_pipe = (time.perf_counter() - t0) / 2        # per batch of ITERS
 
     # per-stage breakdown of one batched pipeline pass
@@ -204,15 +211,16 @@ def run(rt):
         {"total_bpp": bits / (h * w)}, stages, encs
 
 
-def decode_latency(rt, enc, reps: int = LAT_REPS):
-    """Single-request decode latency percentiles (ms)."""
-    x = rt.decode_only(**enc)
-    jax.block_until_ready(x)          # warm
+def decode_latency(rt, enc, reps: int = LAT_REPS, output: str = "float"):
+    """Single-request decode latency percentiles (ms), INCLUDING the
+    result fetch — block_until_ready can return before completion over
+    the axon tunnel, so only a materializing np.asarray measures what a
+    caller actually waits for."""
+    np.asarray(rt.decode_only(**enc, output=output))   # warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        x = rt.decode_only(**enc)
-        jax.block_until_ready(x)
+        np.asarray(rt.decode_only(**enc, output=output))
         ts.append((time.perf_counter() - t0) * 1000.0)
     ts.sort()
     return ts[len(ts) // 2], ts[int(len(ts) * 0.9)]
@@ -260,15 +268,9 @@ def main():
     result["decode_p90_ms"] = round(p90, 1)
     result["encode_p50_ms"] = round(encode_latency(rt), 1)
     # serving path: u8 pixels converted on device (4x smaller fetch)
-    x = rt.decode_only(**encs[0], output="u8")
-    jax.block_until_ready(x)
-    ts_u8 = []
-    for _ in range(max(5, LAT_REPS // 2)):
-        t0 = time.perf_counter()
-        np.asarray(rt.decode_only(**encs[0], output="u8"))
-        ts_u8.append((time.perf_counter() - t0) * 1000.0)
-    ts_u8.sort()
-    result["decode_p50_ms_u8"] = round(ts_u8[len(ts_u8) // 2], 1)
+    p50_u8, _ = decode_latency(rt, encs[0], reps=max(5, LAT_REPS // 2),
+                               output="u8")
+    result["decode_p50_ms_u8"] = round(p50_u8, 1)
     x_auto = np.asarray(rt.decode_only(**encs[0]))
     rt.device_entropy = "host"
     p50_h, _ = decode_latency(rt, encs[0], reps=max(5, LAT_REPS // 2))

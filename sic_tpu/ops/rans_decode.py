@@ -87,13 +87,19 @@ def pack_substreams(parts: Sequence[bytes], word_bucket: int = 512):
     Returns ``(words (S, Wmax) uint32, lengths (S, 1) int32, state (S, 2)
     uint32)`` where ``state[:, 0]`` is the rANS state seeded from the first
     4 little-endian bytes (sic_rans.cc:148-161) and ``state[:, 1]`` the next
-    byte position (4).  ``Wmax`` is rounded up to ``word_bucket`` words so
-    repeated calls hit a small set of compiled shapes.
+    byte position (4).  ``Wmax`` is rounded up to the next power of two at
+    least ``word_bucket``: real per-image streams vary by a few hundred
+    bytes, and every distinct Wmax is a separate kernel compile (~seconds
+    over a remote-compile tunnel), so coarse geometric bucketing — not
+    linear steps — keeps the compiled-shape set tiny.
     """
     S = -(-len(parts) // _LANES) * _LANES
     max_len = max((len(p) for p in parts), default=4)
     nwords = max(1, -(-max_len // 4))
-    nwords = -(-nwords // word_bucket) * word_bucket
+    bucket = max(1, word_bucket)
+    while bucket < nwords:
+        bucket *= 2
+    nwords = bucket
     words = np.zeros((S, nwords), dtype=np.uint32)
     lengths = np.zeros((S, 1), dtype=np.int32)
     state = np.zeros((S, 2), dtype=np.uint32)
