@@ -5,8 +5,9 @@ FULL pipeline — jitted encode, real rANS bitstream write/read for both
 streams, jitted generative decode — and reports images/sec plus:
 
 - per-stage wall-clock breakdown (device encode, fetch, host rANS, decode)
-- single-image decode latency p50/p90 (what a /decompress caller feels),
-  at stream_part 1 and the threaded substream setting
+- single-image encode/decode latency p50/p90 (what /compress and
+  /decompress callers feel): on-device entropy decode (auto), u8 serving
+  path, and the 4-round-trip host path
 - measured host<->device round-trip time (the tunnel RTT that bounds the
   serial 4-step decode chain)
 - MFU from the compiled executables' FLOP counts
@@ -146,28 +147,34 @@ def compiled_flops(rt, params, x01) -> float:
 
 def run(rt):
     from sic_tpu.utils.profiling import StageTimer
-    keys = jax.random.split(jax.random.PRNGKey(1), ITERS)
-    images = [jax.random.uniform(k, (1, SIZE, SIZE, 3),
-                                 minval=-1.0, maxval=1.0) for k in keys]
-    # warmup / compile
-    for _ in range(2):
-        x_hat, bpp, _ = rt.encode_decode(images[0], (SIZE, SIZE))
-    jax.block_until_ready(x_hat)
 
-    xb = jnp.concatenate(images, axis=0)
-    for enc in rt.encode_only_batched(xb):       # warm the batched path
-        pass
-    rt.decode_only_many(rt.encode_only_batched(xb), workers=4)  # warm
+    def make_batch(seed):
+        ks = jax.random.split(jax.random.PRNGKey(seed), ITERS)
+        return jnp.concatenate(
+            [jax.random.uniform(k, (1, SIZE, SIZE, 3),
+                                minval=-1.0, maxval=1.0) for k in ks], axis=0)
 
-    # NOTE on timing: block_until_ready can return before completion over
-    # the axon tunnel, so every timed region ends with a materializing
-    # one-element fetch — the device executes its queue in FIFO order, so
-    # the last output's completion implies the whole batch finished.
+    # Timing methodology for the axon dev tunnel: (a) block_until_ready
+    # can return before completion, so every timed region ends with a
+    # materializing fetch; (b) the tunnel memoizes/dedups repeated
+    # identical computations pathologically (re-running an already-run
+    # batch measures 20x SLOWER than fresh data), so every timed pipeline
+    # gets its own fresh batch, like real traffic.
     def drain(x):
         np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x)
 
+    xb_warm = make_batch(101)
+    x_hat, bpp, _ = rt.encode_decode(xb_warm[:1], (SIZE, SIZE))
+    jax.block_until_ready(x_hat)
+    for enc in rt.encode_only_batched(xb_warm):  # warm the batched path
+        pass
+    rt.decode_only_many(rt.encode_only_batched(make_batch(102)), workers=4)
+    drain(rt.decode_only_batched(rt.encode_only_batched(make_batch(103))))
+
     # pipeline A: batched encode (one device pass + one fetch for all
-    # images, per-image bitstreams) + concurrent per-image decodes
+    # images, per-image bitstreams) + concurrent per-image decodes (each
+    # fully materialized, as a server response would be)
+    xb = make_batch(1)
     t0 = time.perf_counter()
     encs = rt.encode_only_batched(xb)
     outs = rt.decode_only_many(encs, workers=4)
@@ -176,7 +183,7 @@ def run(rt):
 
     # pipeline B: batched encode + BATCHED decode (device-batched
     # autoregressive steps: 4 host syncs total for the whole batch)
-    drain(rt.decode_only_batched(encs))   # warm
+    xb = make_batch(2)
     t0 = time.perf_counter()
     encs = rt.encode_only_batched(xb)
     xhat = rt.decode_only_batched(encs)
@@ -185,22 +192,17 @@ def run(rt):
 
     # pipeline C: two batches in flight — batch k+1's encode overlaps
     # batch k's batched decode (RTTs of one stage hide behind the other)
-    keys2 = jax.random.split(jax.random.PRNGKey(3), 2 * ITERS)
-    xb2 = [jnp.concatenate([jax.random.uniform(k, (1, SIZE, SIZE, 3),
-                                               minval=-1.0, maxval=1.0)
-                            for k in keys2[j * ITERS:(j + 1) * ITERS]], axis=0)
-           for j in range(2)]
-    drain(rt.round_trip_pipelined(xb2)[-1])   # warm
+    xb2 = [make_batch(3), make_batch(4)]
     t0 = time.perf_counter()
     outs2 = rt.round_trip_pipelined(xb2)
     drain(outs2[-1])
     dt_pipe = (time.perf_counter() - t0) / 2        # per batch of ITERS
 
-    # per-stage breakdown of one batched pipeline pass
+    # per-stage breakdown of one batched pipeline pass (fresh batch)
     timer = StageTimer()
-    encs_t = rt.encode_only_batched(xb, timer=timer)
+    encs_t = rt.encode_only_batched(make_batch(5), timer=timer)
     x = rt.decode_only_batched(encs_t, timer=timer)
-    jax.block_until_ready(x)
+    drain(x)
 
     h, w = SIZE, SIZE
     bits = len(encs[-1]["z_bit_stream"]) * 8 + len(encs[-1]["h_bit_stream"]) * 8
@@ -211,16 +213,19 @@ def run(rt):
         {"total_bpp": bits / (h * w)}, stages, encs
 
 
-def decode_latency(rt, enc, reps: int = LAT_REPS, output: str = "float"):
+def decode_latency(rt, encs, reps: int = LAT_REPS, output: str = "float"):
     """Single-request decode latency percentiles (ms), INCLUDING the
     result fetch — block_until_ready can return before completion over
     the axon tunnel, so only a materializing np.asarray measures what a
-    caller actually waits for."""
-    np.asarray(rt.decode_only(**enc, output=output))   # warm
+    caller actually waits for.  Rotates over distinct streams so the
+    tunnel's identical-computation memoization can't serve cached
+    results."""
+    np.asarray(rt.decode_only(**encs[0], output=output))   # warm
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
+        e = encs[1 + (i % (len(encs) - 1))] if len(encs) > 1 else encs[0]
         t0 = time.perf_counter()
-        np.asarray(rt.decode_only(**enc, output=output))
+        np.asarray(rt.decode_only(**e, output=output))
         ts.append((time.perf_counter() - t0) * 1000.0)
     ts.sort()
     return ts[len(ts) // 2], ts[int(len(ts) * 0.9)]
@@ -263,17 +268,17 @@ def main():
     # kernel chained between the prior/recon executables — one round trip);
     # flipping the policy attribute re-times the 4-RTT host path on the
     # same compiled functions, and the two must agree exactly.
-    p50, p90 = decode_latency(rt, encs[0])
+    p50, p90 = decode_latency(rt, encs)
     result["decode_p50_ms"] = round(p50, 1)
     result["decode_p90_ms"] = round(p90, 1)
     result["encode_p50_ms"] = round(encode_latency(rt), 1)
     # serving path: u8 pixels converted on device (4x smaller fetch)
-    p50_u8, _ = decode_latency(rt, encs[0], reps=max(5, LAT_REPS // 2),
+    p50_u8, _ = decode_latency(rt, encs[::-1], reps=max(5, LAT_REPS // 2),
                                output="u8")
     result["decode_p50_ms_u8"] = round(p50_u8, 1)
     x_auto = np.asarray(rt.decode_only(**encs[0]))
     rt.device_entropy = "host"
-    p50_h, _ = decode_latency(rt, encs[0], reps=max(5, LAT_REPS // 2))
+    p50_h, _ = decode_latency(rt, encs, reps=max(5, LAT_REPS // 2))
     result["decode_p50_ms_hostpath"] = round(p50_h, 1)
     x_host = np.asarray(rt.decode_only(**encs[0]))
     rt.device_entropy = "auto"

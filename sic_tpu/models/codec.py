@@ -441,17 +441,18 @@ class CodecRuntime:
         """Concurrent decodes: each request checks out its own rANS decoder,
         so one stream's host coding overlaps another's device round trips.
 
-        Each worker materializes one element of its result before taking
-        the next request: this bounds the in-flight dispatch backlog to
-        ``workers`` chains.  Unbounded async enqueue degrades pathologically
-        on remote-dispatch links (measured 75x slower at 32 outstanding
-        requests over the dev tunnel), and a real server materializes each
-        response anyway."""
+        Each worker fully materializes its result before taking the next
+        request: this bounds the in-flight dispatch backlog to ``workers``
+        chains (unbounded async enqueue degrades pathologically on
+        remote-dispatch links — measured 75x slower at 32 outstanding
+        requests over the dev tunnel; scalar-slice fences don't help there
+        because the link evaluates lazily) and matches what a server does
+        with each response anyway."""
         from concurrent.futures import ThreadPoolExecutor
 
         def _one(e):
             x = self.decode_only(**e)
-            np.asarray(x[0, 0, 0, 0])   # completion fence, stays on device
+            np.asarray(x)               # full materialization fence
             return x
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
