@@ -43,7 +43,7 @@ SIZE = 512
 # per-BATCH costs (tunnel RTT ~30 ms each); 32 amortizes them to <5 ms/img
 # and puts the pipeline within ~10% of the pure device-compute ceiling
 ITERS = int(os.environ.get("SIC_BENCH_BATCH", "32"))
-LAT_REPS = 15
+LAT_REPS = 9
 PEAK_FLOPS = {"tpu v5 lite": 197e12, "tpu v5e": 197e12}  # bf16 peak / chip
 
 
@@ -163,13 +163,19 @@ def run(rt):
     def drain(x):
         np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x)
 
-    xb_warm = make_batch(101)
-    x_hat, bpp, _ = rt.encode_decode(xb_warm[:1], (SIZE, SIZE))
-    jax.block_until_ready(x_hat)
-    for enc in rt.encode_only_batched(xb_warm):  # warm the batched path
+    import sys
+
+    def note(msg):
+        print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
+    note("warming batched encode")
+    for enc in rt.encode_only_batched(make_batch(101)):
         pass
-    rt.decode_only_many(rt.encode_only_batched(make_batch(102)), workers=4)
+    note("warming concurrent decode")
+    rt.decode_only_many(rt.encode_only_batched(make_batch(102))[:4], workers=4)
+    note("warming batched decode")
     drain(rt.decode_only_batched(rt.encode_only_batched(make_batch(103))))
+    note("warmups done")
 
     # pipeline A: batched encode (one device pass + one fetch for all
     # images, per-image bitstreams) + concurrent per-image decodes (each
@@ -260,6 +266,7 @@ def main():
         "vs_baseline": round(img_s / CPU_BASELINE_IMG_S, 2),
     }
     result.update(stages)
+    print("# bench: pipelines done", flush=True)
     result["rtt_ms"] = round(measure_rtt(), 2)
     result["total_bpp"] = round(bpp["total_bpp"], 5)
 
@@ -291,6 +298,7 @@ def main():
     else:
         result["device_rans_check"] = "skipped_not_tpu"
 
+    print("# bench: latency done", flush=True)
     flops = compiled_flops(rt, rt.params, jnp.zeros((1, SIZE, SIZE, 3)))
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind.lower(), 197e12)
     if flops:
