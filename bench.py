@@ -172,7 +172,10 @@ def run(rt):
     for enc in rt.encode_only_batched(make_batch(101)):
         pass
     note("warming concurrent decode")
-    rt.decode_only_many(rt.encode_only_batched(make_batch(102))[:4], workers=4)
+    # full-size warm: the first full-width concurrent wave is what pays
+    # the tunnel's buffer-growth cost; a small warm leaves the timed wave
+    # ~20x slower
+    rt.decode_only_many(rt.encode_only_batched(make_batch(102)), workers=4)
     note("warming batched decode")
     drain(rt.decode_only_batched(rt.encode_only_batched(make_batch(103))))
     note("warmups done")
