@@ -82,3 +82,19 @@ def test_decode_only_device_entropy_matches_host():
     a = rt_host.decode_only(**enc)
     b = rt_dev.decode_only(**enc)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decode_only_u8_output_matches_host_conversion():
+    """output='u8' converts pixels on device; must equal the host-side
+    conversion of the float output exactly (same clip/scale/truncate)."""
+    spec = tiny_spec()
+    _, params = init_codec(spec, jax.random.PRNGKey(0))
+    rt = CodecRuntime(spec, params, stream_part=4)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 256, 256, 3)).astype(np.float32))
+    enc = rt.encode_only(x)
+    xf = np.asarray(rt.decode_only(**enc))
+    xu = np.asarray(rt.decode_only(**enc, output="u8"))
+    assert xu.dtype == np.uint8
+    ref = np.clip((xf + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(xu, ref)
