@@ -50,14 +50,18 @@ def decompress_dir(rt, dataset_dir, save_dir, batch_size: int = 8):
         enc_result, header = unpack_c2df(path)
         enc_result = sanitize_enc_result_types(enc_result)
         enc_result["z_coder"] = header.get("z_coder", "torchac")
-        # files without the marker predate this framework: they are
-        # reference-produced and torchac-coded (codec_sq_fixbpp.py:861-864)
         # the h-stream coding contract the file was written under (the
-        # decode trajectory must replay at the same coding batch)
-        enc_result["coding_batch"] = header.get("coding_batch")
+        # decode trajectory must replay at the same coding batch).  A file
+        # without the marker predates the contract: every pre-contract
+        # writer — the reference (compress.py:209 batch_size=1) and older
+        # sic_tpu encoders on the per-file path — ran the coding chain at
+        # the file's own batch of 1, so that IS its trajectory; assuming
+        # the new default instead could silently desync bf16 decodes.
+        enc_result["coding_batch"] = int(header.get("coding_batch", 1))
         key = (tuple(enc_result["stack_shape"]),
                tuple(enc_result["feat_shape"]),
-               int(enc_result["token_length"]))
+               int(enc_result["token_length"]),
+               enc_result["coding_batch"])
         buckets.setdefault(key, []).append((path.stem, enc_result, header))
         if len(buckets[key]) >= batch_size:
             flush(key)

@@ -473,6 +473,10 @@ class CodecRuntime:
         for e in enc_results:
             assert tuple(e["stack_shape"]) == tuple(first["stack_shape"]), \
                 "decode_only_batched needs same-shaped streams"
+            # mixing contracts would replay the wrong float trajectory for
+            # every non-first stream and decode them to garbage silently
+            assert e.get("coding_batch") == first.get("coding_batch"), \
+                "decode_only_batched needs a single coding_batch contract"
 
         n_latent = int(first["z_indices_shape"][-1])
 

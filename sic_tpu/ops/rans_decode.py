@@ -105,8 +105,11 @@ def pack_substreams(parts: Sequence[bytes], word_bucket: int = 512):
     state = np.zeros((S, 2), dtype=np.uint32)
     for i, p in enumerate(parts):
         if len(p) < 4:
-            # malformed: native decoder zeroes its state (sic_rans.cc:150-155)
-            continue
+            # match the native decoder's rejection of truncated substreams
+            # (sic_dec_set_stream raises via PartDecoder::set_stream) so
+            # untrusted uploads fail loudly on both decode paths
+            raise ValueError(
+                f"substream {i} is {len(p)} bytes; rANS needs >= 4")
         buf = np.frombuffer(p, dtype=np.uint8)
         padded = np.zeros(nwords * 4, dtype=np.uint8)
         padded[:buf.size] = buf

@@ -69,8 +69,11 @@ def barrier(tag: str = "sic_tpu_barrier") -> None:
     Prefers the coordination-service barrier (works regardless of the
     device backend); falls back to a device-level all-reduce."""
     import jax
-    from jax._src import distributed
-    client = getattr(distributed.global_state, "client", None)
+    try:
+        from jax._src import distributed
+        client = getattr(distributed.global_state, "client", None)
+    except Exception:
+        client = None  # private API moved/removed: use the public fallback
     if client is not None:
         client.wait_at_barrier(f"sic_tpu:{tag}", timeout_in_ms=600_000)
         return
