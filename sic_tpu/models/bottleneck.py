@@ -275,6 +275,26 @@ class BottleneckCoder:
         self._dev_cdf_len = jnp.asarray(self.tables.cdf_length, jnp.int32)
         self._dev_cdf_off = jnp.asarray(self.tables.offset, jnp.int32)
 
+    def clone_with_stream_part(self, stream_part: int) -> "BottleneckCoder":
+        """Shallow clone with its own native coder at a different substream
+        count, SHARING every compiled device function (the jits close over
+        module/params only — stream framing is purely host-side).  Used to
+        exercise legacy stream_part-1 files without a recompile."""
+        import copy
+        import queue
+        import threading
+        c = copy.copy(self)
+        c.stream_part = stream_part
+        c.coder = EntropyCoder(stream_part)
+        c.cdf_group = c.coder.add_cdf(self.tables.quantized_cdf,
+                                      self.tables.cdf_length,
+                                      self.tables.offset)
+        c.lock = threading.Lock()
+        c._dec_pool = queue.SimpleQueue()
+        c._dec_pool.put((c.coder, c.cdf_group))
+        c._enc_pool = queue.SimpleQueue()
+        return c
+
     def _checkout_decoder(self):
         try:
             return self._dec_pool.get_nowait()
@@ -299,19 +319,25 @@ class BottleneckCoder:
         Bc = self.coding_batch
         return [(s, min(Bc, B - s)) for s in range(0, B, Bc)]
 
-    def compress_plan(self, y, q_idx: int = 0):
-        """Dispatch the whole device-side encode chain WITHOUT any host
-        sync; returns (packed_planes device array, y_hat device array).
-        The caller fetches ``packed`` (one transfer) and runs
-        :meth:`encode_packed`.
+    def compress_plan_chunks(self, y, q_idx: int = 0):
+        """Dispatch the device-side encode chain WITHOUT any host sync,
+        per CODING_BATCH chunk; returns ``[(start, real, packed_dev,
+        y_hat_dev), ...]`` in image order.
 
-        The chain runs per CODING_BATCH chunk (padded with zero images) so
-        the float trajectory is identical to what any later decode — single
+        All chunks are dispatched before this returns (dispatch is async),
+        so a caller can fetch chunk j's packed planes — blocking only until
+        THAT chunk's chain completes — and run its host rANS while chunks
+        j+1.. are still computing on device: the per-chunk streaming encode
+        (the reference's hot loop is strictly serial per image,
+        compress.py:248-289).
+
+        The chain runs at the coding batch (padded with zero images) so the
+        float trajectory is identical to what any later decode — single
         image or batched — will recompute."""
         p = self.params
         B = y.shape[0]
         Bc = self.coding_batch
-        packed_chunks, y_hat_chunks = [], []
+        out = []
         for start, real in self._chunk_batches(B):
             yc = y[start:start + real]
             if real < Bc:
@@ -334,13 +360,20 @@ class BottleneckCoder:
                 y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
                                                                means, step)
 
-            packed_chunks.append(self._pack_planes(planes)[:, :, :real])
-            y_hat_chunks.append(self._decode_transform(
-                p, y_hat_so_far * quant_step, q_idx)[:real])
-        if len(packed_chunks) == 1:
-            return packed_chunks[0], y_hat_chunks[0]
-        return (jnp.concatenate(packed_chunks, axis=2),
-                jnp.concatenate(y_hat_chunks, axis=0))
+            out.append((start, real, self._pack_planes(planes)[:, :, :real],
+                        self._decode_transform(
+                            p, y_hat_so_far * quant_step, q_idx)[:real]))
+        return out
+
+    def compress_plan(self, y, q_idx: int = 0):
+        """One-shot form of :meth:`compress_plan_chunks`: returns
+        (packed_planes device array, y_hat device array) concatenated over
+        chunks, for callers that want a single fetch."""
+        chunks = self.compress_plan_chunks(y, q_idx)
+        if len(chunks) == 1:
+            return chunks[0][2], chunks[0][3]
+        return (jnp.concatenate([c[2] for c in chunks], axis=2),
+                jnp.concatenate([c[3] for c in chunks], axis=0))
 
     def encode_packed(self, packed: np.ndarray) -> bytes:
         """Host rANS over a fetched packed-planes array."""

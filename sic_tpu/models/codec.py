@@ -333,10 +333,22 @@ class CodecRuntime:
         }
 
     def encode_only_batched(self, x, timer=None) -> list:
-        """Batched encode: ONE device pass + ONE fetch for B images, then B
-        independent per-image bitstreams (decodable one by one with
-        :meth:`decode_only`).  The throughput path for corpus indexing —
-        host round trips amortize across the batch."""
+        """Batched encode: ONE device pass for B images, then B independent
+        per-image bitstreams (decodable one by one with :meth:`decode_only`).
+        The throughput path for corpus indexing.
+
+        The host work STREAMS per coding-batch chunk: chunk j's packed
+        planes are fetched as soon as its device chain completes, and its
+        host rANS runs on a worker thread while chunks j+1.. are still
+        computing — the native coder releases the GIL, so the rANS write
+        genuinely overlaps both later chunks' compute and their fetches.
+        (Round-2 profile: a monolithic fetch + rANS serialized ~1.1 s of
+        host-side work after the device finished; reference hot loop is
+        fully serial per image, compress.py:248-289.)
+
+        Note for ``timer`` readers: stages overlap by design here, so
+        fetch + h_rans wall-clock sums exceed the pipeline's critical path.
+        """
         from ..utils.profiling import timed_stage
 
         B, H, W, _ = x.shape
@@ -346,33 +358,45 @@ class CodecRuntime:
             x01 = shard_batch(x01, self.mesh)
         with timed_stage(timer, "encode_device"):
             z_indices, h, _ = self._encode(self.params, x01)
-            packed_dev, _ = self.h_coder.compress_plan(h, q_idx=0)
+            chunk_plans = self.h_coder.compress_plan_chunks(h, q_idx=0)
         stack_shape = (H // self.spec.tile_px, W // self.spec.tile_px)
         n_tiles = stack_shape[0] * stack_shape[1]
 
-        with timed_stage(timer, "fetch"):
-            z_np, packed = jax.device_get((z_indices, packed_dev))
-
-        results = []
-        feat_shape_1 = (1, h.shape[1], h.shape[2], h.shape[3])
-        with timed_stage(timer, "h_rans"):
-            # per-image streams fan out over the native-coder pool
-            h_streams = self.h_coder.encode_packed_many(packed)
-        for b in range(B):
-            h_stream = h_streams[b]
+        # the z fetch + z rANS ride a worker thread under the bottleneck
+        # chunks' device compute
+        def _z_all():
             with timed_stage(timer, "z_rans"):
-                idx_np = z_np[b * n_tiles:(b + 1) * n_tiles].reshape(-1)
-                z_stream = self._encode_z(idx_np)
-            results.append({
-                "z_bit_stream": z_stream,
-                "h_bit_stream": h_stream,
-                "img_shape": (H, W),
-                "feat_shape": feat_shape_1,
-                "stack_shape": stack_shape,
-                "token_length": int(idx_np.size),
-                "z_indices_shape": (n_tiles, z_np.shape[1]),
-            })
-        return results
+                z_np = jax.device_get(z_indices)
+                return [self._encode_z(
+                    z_np[b * n_tiles:(b + 1) * n_tiles].reshape(-1))
+                    for b in range(B)]
+
+        z_future = self._io.submit(_z_all)
+
+        h_streams: list = [None] * B
+        pending = []
+        for start, real, packed_dev, _yh in chunk_plans:
+            with timed_stage(timer, "fetch"):
+                packed = jax.device_get(packed_dev)   # blocks on THIS chunk only
+            pending.append((start, real,
+                            self._io.submit(self.h_coder.encode_packed_many,
+                                            packed)))
+        with timed_stage(timer, "h_rans"):
+            for start, real, fut in pending:
+                h_streams[start:start + real] = fut.result()
+        z_streams = z_future.result()
+
+        feat_shape_1 = (1, h.shape[1], h.shape[2], h.shape[3])
+        token_length = n_tiles * int(z_indices.shape[-1])
+        return [{
+            "z_bit_stream": z_streams[b],
+            "h_bit_stream": h_streams[b],
+            "img_shape": (H, W),
+            "feat_shape": feat_shape_1,
+            "stack_shape": stack_shape,
+            "token_length": token_length,
+            "z_indices_shape": (n_tiles, int(z_indices.shape[-1])),
+        } for b in range(B)]
 
     def decode_only(self, z_bit_stream, h_bit_stream, img_shape, feat_shape,
                     stack_shape, token_length, z_indices_shape,
