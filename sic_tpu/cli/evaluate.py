@@ -71,6 +71,10 @@ def main(argv=None):
     rt, _cfg = load_runtime(args.base_config, args.ckpt_path)
 
     lpips_fn = None
+    if args.lpips_lin and not args.lpips_vgg:
+        print("[WARN] --lpips_lin without --lpips_vgg: the VGG16 backbone "
+              "is UNCALIBRATED (random weights); reported lpips values are "
+              "not comparable to the reference's", file=sys.stderr)
     if args.lpips_lin or args.lpips_vgg:
         import jax
         from ..models.lpips import LPIPS, port_lpips_params

@@ -43,6 +43,15 @@ def main(argv=None):
                     help="resume weights but restart the stage schedule "
                          "(the reference's ignore_keys=['epoch_for_strategy',"
                          "'lmbda_idx','lmbda_list'])")
+    ap.add_argument("--perceptual", type=str, default=None,
+                    choices=("lpips", "msssim", "none"),
+                    help="pix-stage perceptual term (default lpips; use "
+                         "msssim when no VGG16 checkpoint is available — "
+                         "uncalibrated lpips warns loudly)")
+    ap.add_argument("--lpips_lin", type=str, default=None,
+                    help="torch ckpt of LPIPS calibration heads (vgg.pth)")
+    ap.add_argument("--lpips_vgg", type=str, default=None,
+                    help="torchvision VGG16 checkpoint for the LPIPS backbone")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny spec for smoke runs")
     ap.add_argument("--seed", type=int, default=0)
@@ -83,6 +92,12 @@ def main(argv=None):
                                args.train_px)
         feat_cfg, img_cfg = FeatLossCfg(), ImgLossCfg()
         tune_titok = False
+    if args.perceptual is not None:
+        import dataclasses
+        img_cfg = dataclasses.replace(img_cfg, perceptual=args.perceptual)
+    print(f"[train] perceptual mode: {img_cfg.perceptual}"
+          + ("" if img_cfg.perceptual != "lpips" or args.lpips_vgg
+             else " (UNCALIBRATED — no --lpips_vgg)"), file=sys.stderr)
 
     if args.train_list:
         train_ds = ImageDataset.from_list_file(args.train_list,
@@ -109,7 +124,8 @@ def main(argv=None):
         image_hw=(args.train_px, args.train_px), tune_titok=tune_titok,
         donate=not args.no_donate,
         mu_dtype=jnp.bfloat16 if on_tpu else None,
-        frozen_dtype=None if (args.f32_frozen or not on_tpu) else jnp.bfloat16)
+        frozen_dtype=None if (args.f32_frozen or not on_tpu) else jnp.bfloat16,
+        lpips_lin=args.lpips_lin, lpips_vgg=args.lpips_vgg)
     if args.resume:
         resumed = load_checkpoint(args.resume, state)
         if args.reset_schedule:

@@ -141,7 +141,8 @@ def load_config(path) -> LoadedConfig:
         disc_weight=float(il.get("disc_weight", 0.75)),
         codebook_weight=float(il.get("codebook_weight", 1.0)),
         disc_num_layers=int(il.get("disc_num_layers", 3)),
-        disc_ndf=int(il.get("disc_ndf", 64)))
+        disc_ndf=int(il.get("disc_ndf", 64)),
+        perceptual=str(il.get("perceptual", "lpips")))
     fl = p.get("featlossconfig", {})
     feat_cfg = FeatLossCfg(
         mse_weight=float(fl.get("mse_weight", 1.0)),

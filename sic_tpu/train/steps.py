@@ -32,7 +32,14 @@ class FeatLossCfg:
 
 @dataclasses.dataclass(frozen=True)
 class ImgLossCfg:
-    """(reference: config_test.yaml:64-70, vqperceptual.py:38-41)"""
+    """(reference: config_test.yaml:64-70, vqperceptual.py:38-41)
+
+    ``perceptual`` selects the perceptual term of the NLL
+    (reference: vqperceptual.py:67-78 uses LPIPS unconditionally):
+    ``"lpips"`` needs a calibrated VGG16 backbone to be meaningful;
+    ``"msssim"`` is the checkpoint-free fallback (1 - MS-SSIM, the same
+    differentiable metric family the DCVC line trains with);
+    ``"none"`` trains on L1 alone."""
     disc_start: int = 0
     disc_weight: float = 0.75
     disc_factor: float = 1.0
@@ -42,6 +49,7 @@ class ImgLossCfg:
     disc_num_layers: int = 3
     disc_ndf: int = 64
     disc_loss: str = "hinge"
+    perceptual: str = "lpips"
 
 
 def _last_conv_apply(h_pre, w, b):
@@ -69,9 +77,18 @@ def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
     _jit = (functools.partial(jax.jit, donate_argnums=(0,)) if donate
             else jax.jit)
 
+    if img_cfg.perceptual not in ("lpips", "msssim", "none"):
+        raise ValueError(f"unknown perceptual mode: {img_cfg.perceptual!r}")
+
     def _nll(params_lpips, x, x_hat):
         rec = jnp.mean(jnp.abs(x - x_hat))
-        p = jnp.mean(lpips.apply(params_lpips, x, x_hat))
+        if img_cfg.perceptual == "lpips":
+            p = jnp.mean(lpips.apply(params_lpips, x, x_hat))
+        elif img_cfg.perceptual == "msssim":
+            from ..metrics import ms_ssim
+            p = jnp.mean(1.0 - ms_ssim(x, x_hat))
+        else:
+            p = jnp.asarray(0.0, x.dtype)
         return rec + img_cfg.perceptual_weight * p, rec, p
 
     # ---- stage feat / feat_wo_bpp ------------------------------------------

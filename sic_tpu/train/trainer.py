@@ -33,13 +33,21 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
                        image_hw=None, tune_titok: bool = False,
                        codec_params=None, dtype=None,
                        donate: bool = False, mu_dtype=None,
-                       frozen_dtype=None):
+                       frozen_dtype=None, lpips_lin=None, lpips_vgg=None):
     """Initialize models, optimizers and the jitted step functions.
 
     Single-chip big-model knobs: ``donate=True`` reuses state buffers
     across steps; ``mu_dtype=jnp.bfloat16`` halves Adam first-moment
     memory; ``frozen_dtype=jnp.bfloat16`` stores the frozen backbones in
-    bf16 (they are inference-only)."""
+    bf16 (they are inference-only).
+
+    ``lpips_lin``/``lpips_vgg``: torch checkpoints for the LPIPS
+    calibration heads and VGG16 backbone.  With ``img_cfg.perceptual ==
+    "lpips"`` and no backbone checkpoint, the perceptual term would score
+    features of a RANDOM network — a loud warning is emitted and callers
+    should prefer ``perceptual="msssim"`` in checkpoint-free environments
+    (the reference always has torchvision's VGG16 available;
+    taming/modules/losses/lpips.py:11-123)."""
     from .state import cast_frozen_params
 
     r_codec, r_disc, r_lpips, r_state = jax.random.split(rng, 4)
@@ -59,6 +67,16 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
 
     lpips = LPIPS()
     lpips_params = lpips.init(r_lpips, dummy, dummy)
+    if lpips_lin or lpips_vgg:
+        from ..models.lpips import port_lpips_params
+        lpips_params = port_lpips_params(lpips_params, lpips_lin, lpips_vgg)
+    if img_cfg.perceptual == "lpips" and not lpips_vgg:
+        import warnings
+        warnings.warn(
+            "perceptual='lpips' without --lpips_vgg: the VGG16 backbone is "
+            "UNCALIBRATED (random weights) and the perceptual loss is "
+            "meaningless. Pass a torchvision VGG16 checkpoint or train with "
+            "perceptual='msssim'.", stacklevel=2)
 
     ae_tx, opt_state_ae = make_ae_optimizer(codec_params,
                                             strategy.learning_rate, tune_titok,

@@ -88,6 +88,43 @@ def test_stage_schedule():
     assert STRAT.total_epochs == 3
 
 
+def test_uncalibrated_lpips_warns_and_msssim_mode_trains():
+    """perceptual='lpips' with no VGG ckpt must warn loudly; the
+    checkpoint-free 'msssim' mode must train the pix stage end to end
+    (reference loss: vqperceptual.py:67-78 — LPIPS-only, backbone always
+    available there)."""
+    import pytest as _pytest
+    with _pytest.warns(UserWarning, match="UNCALIBRATED"):
+        create_train_state(
+            TINY, STRAT, jax.random.PRNGKey(11),
+            img_cfg=ImgLossCfg(disc_ndf=16, disc_num_layers=2,
+                               perceptual="lpips"))
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # msssim mode must NOT warn
+        codec, state, (_, pix_step, eval_step) = create_train_state(
+            TINY, STRAT, jax.random.PRNGKey(12),
+            img_cfg=ImgLossCfg(disc_ndf=16, disc_num_layers=2,
+                               perceptual="msssim"))
+    x = jax.random.uniform(jax.random.PRNGKey(13), (1, 256, 256, 3),
+                           minval=-1.0)
+    state2, logs = pix_step(state, x)
+    # 1 - MS-SSIM of two unrelated images sits in (0, 2]
+    assert 0.0 < float(logs["train/p_loss"]) <= 2.0
+    assert np.isfinite(logs["train/ae_loss"])
+    m = eval_step(state2, x)
+    assert np.isfinite(m["val/nll_loss"])
+
+
+def test_unknown_perceptual_mode_rejected():
+    with pytest.raises(ValueError, match="perceptual"):
+        create_train_state(
+            TINY, STRAT, jax.random.PRNGKey(14),
+            img_cfg=ImgLossCfg(disc_ndf=16, disc_num_layers=2,
+                               perceptual="vgg"))
+
+
 def test_remat_training_step():
     """save_mem path: remat'd modules train (stack_shape kept static)."""
     import dataclasses
