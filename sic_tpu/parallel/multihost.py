@@ -57,8 +57,16 @@ def setup_distributed(rank: Optional[int] = None, world: Optional[int] = None,
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     except Exception:
         pass  # older jax without the option
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=world, process_id=rank)
+    # generous handshake window: co-scheduled processes on a loaded 1-CPU
+    # host can be minutes apart reaching initialize (measured under full
+    # parallel suite load); the default 5 min is exactly at the flake edge
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=world, process_id=rank,
+                                   initialization_timeout=900)
+    except TypeError:  # older jax without the kwarg
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=world, process_id=rank)
     return rank, world
 
 

@@ -38,3 +38,21 @@ def requires_reference():
     import pytest
     return pytest.mark.skipif(not REFERENCE_DIR.exists(),
                               reason="reference tree not mounted")
+
+
+# Modules whose tests dominate the suite wall-clock (port oracles against
+# the reference torch tree, multi-process subprocess runs, end-to-end CLI
+# drives).  They are auto-marked ``slow`` so the default dev loop is
+# ``pytest -m "not slow"``; the full suite stays the CI/driver contract.
+SLOW_MODULES = {
+    "test_multihost", "test_port_full_codec", "test_port_parity",
+    "test_titok", "test_maskgit", "test_rans_interop", "test_train_cli",
+    "test_cli", "test_service", "test_convergence",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
