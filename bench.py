@@ -288,6 +288,20 @@ def main():
     result["decode_p50_ms_hostpath"] = round(p50_h, 1)
     x_host = np.asarray(rt.decode_only(**encs[0]))
     rt.device_entropy = "auto"
+
+    # legacy single-substream streams (stream_part-1 encoders / reference
+    # files): always take the 4-RTT host decode — keep that path visible.
+    # The clone shares every compiled executable; only host framing differs.
+    import copy as _copy
+    rt1 = _copy.copy(rt)
+    rt1.h_coder = rt.h_coder.clone_with_stream_part(1)
+    enc1 = [{**e, "h_bit_stream": rt1.h_coder.encode_packed(np.asarray(
+        rt.h_coder.compress_plan(rt._encode(rt.params, jnp.asarray(
+            jax.random.uniform(jax.random.PRNGKey(50 + i),
+                               (1, SIZE, SIZE, 3))))[1], q_idx=0)[0]))}
+        for i, e in enumerate(encs[:4])]
+    p50_1, _ = decode_latency(rt1, enc1, reps=max(5, LAT_REPS // 2))
+    result["decode_p50_ms_part1_legacy"] = round(p50_1, 1)
     if jax.devices()[0].platform == "tpu":
         # off-TPU the auto policy resolves to the host path too, which
         # would make this comparison vacuous
@@ -305,6 +319,17 @@ def main():
         result["mfu_pct"] = round(100.0 * flops * img_s / peak, 2)
 
     result.update(kernel_check())
+    print("# bench: measuring search QPS", file=sys.stderr, flush=True)
+    try:
+        from benchmarks.search_qps import measure as _search_qps
+        result["search_qps_100k"] = round(_search_qps(), 1)
+    except Exception as e:  # the headline metric must still print
+        result["search_qps_100k"] = f"error: {type(e).__name__}"
+    # provenance of the pinned CPU baseline in vs_baseline
+    result["cpu_baseline_img_s"] = CPU_BASELINE_IMG_S
+    result["cpu_baseline_provenance"] = (
+        "JAX_PLATFORMS=cpu python bench.py --cpu-baseline, 2026-08-16, "
+        "this container (1 vCPU), SIC_BENCH_BATCH=32 pipeline")
     print(json.dumps(result))
 
 
