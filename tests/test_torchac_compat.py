@@ -89,6 +89,71 @@ def test_quantize_cdf_every_symbol_has_mass():
     assert np.all(np.diff(q) > 0)
 
 
+# -- adversarial inputs -------------------------------------------------------
+# decode_int16_normalized_cdf parses UNTRUSTED ``.c2df`` fields (stream
+# bytes + token_length).  Like upstream torchac, it must tolerate any
+# byte content: past-the-end reads shift in zeros.  These tests bound its
+# behavior: never crash, never emit an out-of-alphabet symbol, always
+# return exactly n_sym symbols.
+
+def _assert_bounded(codec, stream, n_sym):
+    out = codec.decode(stream, n_sym)
+    assert out.shape == (n_sym,)
+    assert out.min() >= 0 and out.max() < codec.num_codes
+
+
+@pytest.mark.parametrize("cut", [0, 1, 2, 3, 7, 100])
+def test_truncated_stream_decodes_bounded(cut):
+    rng = np.random.default_rng(cut)
+    codec = UniformTorchacCodec(4096)
+    toks = rng.integers(0, 4096, 512).astype(np.int16)
+    stream = codec.encode(toks)
+    _assert_bounded(codec, stream[:cut], 512)
+
+
+def test_empty_stream_decodes_bounded():
+    _assert_bounded(UniformTorchacCodec(4096), b"", 64)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_garbage_decodes_bounded(seed):
+    rng = np.random.default_rng(seed)
+    codec = UniformTorchacCodec(257)  # odd alphabet exercises searchsorted edges
+    garbage = rng.integers(0, 256, rng.integers(0, 200)).astype(np.uint8)
+    _assert_bounded(codec, garbage.tobytes(), 333)
+
+
+@pytest.mark.parametrize("extra", [1, 10, 1000])
+def test_n_sym_overrun_decodes_bounded(extra):
+    """A lying token_length (larger than what was encoded) must not crash
+    or emit out-of-range symbols — the prefix still decodes exactly."""
+    rng = np.random.default_rng(extra)
+    codec = UniformTorchacCodec(100)
+    toks = rng.integers(0, 100, 50).astype(np.int16)
+    stream = codec.encode(toks)
+    out = codec.decode(stream, 50 + extra)
+    np.testing.assert_array_equal(out[:50], toks)
+    assert out.min() >= 0 and out.max() < 100
+
+
+def test_bitflip_fuzz_decodes_bounded():
+    rng = np.random.default_rng(99)
+    codec = UniformTorchacCodec(4096)
+    toks = rng.integers(0, 4096, 128).astype(np.int16)
+    stream = bytearray(codec.encode(toks))
+    for _ in range(32):
+        pos = rng.integers(0, len(stream))
+        stream[pos] ^= 1 << rng.integers(0, 8)
+        _assert_bounded(codec, bytes(stream), 128)
+
+
+def test_zero_symbols_round_trip():
+    codec = UniformTorchacCodec(16)
+    stream = codec.encode(np.empty(0, np.int16))
+    out = codec.decode(stream, 0)
+    assert out.shape == (0,)
+
+
 def test_runtime_torchac_format_round_trip():
     """CodecRuntime(z_format='torchac') produces reference-format z streams
     its own decode_only(z_coder='torchac') reconstructs identically to the
