@@ -78,8 +78,12 @@ def ms_ssim(a, b, data_range: float = 2.0):
     last = len(_MSSSIM_WEIGHTS) - 1
     for i, w in enumerate(_MSSSIM_WEIGHTS):
         s, cs = _ssim_per_scale(a, b, k, data_range)
-        # clamp to >= 0 so fractional powers stay real (pytorch_msssim relu)
-        vals.append(jnp.maximum(s if i == last else cs, 0.0) ** w)
+        # Floor at a small EPS, not 0: d(x^w)/dx = w*x^(w-1) is infinite at
+        # x=0 for fractional w, and cs goes negative (clamping to the floor)
+        # on anticorrelated patches — exactly what an early random decoder
+        # produces — which NaN'd training when this is used as a loss.
+        # (pytorch_msssim's relu clamp has the same singularity.)
+        vals.append(jnp.maximum(s if i == last else cs, 1e-4) ** w)
         if i != last:
             a, b = _downsample2(a), _downsample2(b)
     out = vals[0]

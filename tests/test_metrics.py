@@ -34,3 +34,19 @@ def test_ms_ssim_identity_and_range():
     y = x + 0.3 * jax.random.normal(jax.random.PRNGKey(4), x.shape)
     v = float(ms_ssim(x, y)[0])
     assert 0.0 <= v < 1.0
+
+
+def test_ms_ssim_gradient_finite_on_anticorrelated_inputs():
+    """1 - ms_ssim is a TRAINING loss (ImgLossCfg.perceptual='msssim'): its
+    gradient must stay finite even where cs <= 0 (anticorrelated patches,
+    i.e. an early random decoder) — the naive relu-then-pow form has an
+    infinite derivative at the clamp and NaN'd the pix stage."""
+    import jax
+    import jax.numpy as jnp
+
+    from sic_tpu.metrics import ms_ssim
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (1, 256, 256, 3)).astype(np.float32))
+    g = jax.grad(lambda b: jnp.mean(1.0 - ms_ssim(a, b)))(-a * 0.3)
+    assert bool(jnp.isfinite(g).all())
