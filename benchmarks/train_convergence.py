@@ -1,0 +1,198 @@
+"""Convergence proof: the 3-stage trainer LEARNS, and the rate controller
+drives validation bpp into the target band.
+
+Everything the reference's training strategy exists for
+(codec_sq_fixbpp.py:523-647, lambda controller :626-637) demonstrated at
+tiny scale on a procedural-texture corpus:
+
+1. feat-stage alignment loss decreases over training;
+2. the lambda index steps in the correct direction whenever mean val bpp
+   leaves ``[bpp_lower, bpp_upper]``, and val bpp ends inside the band;
+3. pix-stage reconstruction PSNR improves over its own start.
+
+Writes TensorBoard curves via MetricsWriter and a summary JSON
+(default ``TRAIN_r03.json``).  ``tests/test_convergence.py`` runs a
+shortened version of the same harness with hard assertions.
+
+    python benchmarks/train_convergence.py [--out TRAIN_r03.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def texture(seed: int, px: int = 256) -> np.ndarray:
+    """Procedural training image: random mixture of oriented sinusoids +
+    soft blobs, [-1, 1], (px, px, 3).  Deterministic per seed."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:px, 0:px].astype(np.float64) / px
+    img = np.zeros((px, px, 3))
+    for _ in range(4):
+        fx, fy = rng.uniform(0.5, 6.0, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(0.15, 0.5)
+        wave = amp * np.sin(2 * np.pi * (fx * x + fy * y) + ph)
+        img += wave[..., None] * rng.uniform(-1, 1, 3)
+    cx, cy = rng.uniform(0.2, 0.8, 2)
+    r2 = (x - cx) ** 2 + (y - cy) ** 2
+    img += np.exp(-r2 / rng.uniform(0.01, 0.08))[..., None] \
+        * rng.uniform(-0.8, 0.8, 3)
+    return np.clip(img, -1.0, 1.0).astype(np.float32)
+
+
+def make_corpus(n_train: int, n_val: int, px: int = 256):
+    train = np.stack([texture(1000 + i, px) for i in range(n_train)])
+    val = np.stack([texture(9000 + i, px) for i in range(n_val)])
+    return train, val
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return 10.0 * np.log10(4.0 / max(mse, 1e-12))   # data range [-1, 1]
+
+
+def run(steps_per_epoch: int = 24, epochs=(2, 5, 3), batch: int = 2,
+        n_train: int = 16, n_val: int = 4, lr: float = 1e-3,
+        band=(0.20, 0.45), seed: int = 0, log_dir=None, perceptual="msssim"):
+    """Returns the summary dict (see __doc__)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sic_tpu.config import tiny_spec
+    from sic_tpu.train import (ImgLossCfg, StageSpec, Trainer,
+                               TrainingStrategy, create_train_state)
+
+    lmbda = tuple(2.0 ** i for i in range(-4, 7))   # 0.0625 .. 64, x2 steps
+    mid = len(lmbda) // 2
+    strategy = TrainingStrategy(
+        learning_rate=lr, start_epoch=0,
+        stages=(StageSpec(epochs[0], mid, lmbda, 10.0, 0.0),   # open band
+                StageSpec(epochs[1], mid, lmbda, band[1], band[0]),
+                StageSpec(epochs[2], mid, lmbda, band[1], band[0])))
+
+    codec, state, steps = create_train_state(
+        tiny_spec(), strategy, jax.random.PRNGKey(seed),
+        img_cfg=ImgLossCfg(disc_ndf=16, disc_num_layers=2,
+                           perceptual=perceptual))
+
+    train_x, val_x = make_corpus(n_train, n_val)
+    writer = None
+    if log_dir:
+        from sic_tpu.utils.tb_writer import MetricsWriter
+        writer = MetricsWriter(log_dir)
+
+    hist = {"feat_loss": [], "val_bpp": [], "lmbda_idx": [],
+            "stage": [], "pix_psnr": [], "controller_moves": []}
+    rng = np.random.default_rng(seed)
+    trainer = Trainer(codec, state, steps, strategy)
+
+    def epoch_batches():
+        idx = rng.permutation(n_train)
+        for s in range(0, steps_per_epoch * batch, batch):
+            take = [idx[(s + j) % n_train] for j in range(batch)]
+            yield train_x[take]
+
+    def val_psnr() -> float:
+        out = trainer.codec.apply(trainer.state.params,
+                                  jnp.asarray(val_x[:2]),
+                                  need_full_decode=True)
+        return psnr(np.asarray(out["x_hat"]), val_x[:2])
+
+    feat_step, pix_step, eval_step = steps
+    t0 = time.time()
+    total_epochs = sum(epochs)
+    for _ in range(total_epochs):
+        epoch = int(trainer.state.epoch_for_strategy)
+        stage, spec = strategy.stage_at(epoch)
+        step_fn = pix_step if stage == "pix" else feat_step
+        if stage == "pix" and not hist["pix_psnr"]:
+            hist["pix_psnr"].append(val_psnr())   # pix-stage starting point
+        for bi, xb in enumerate(epoch_batches()):
+            trainer.state, logs = step_fn(trainer.state, jnp.asarray(xb))
+            if stage != "pix":
+                hist["feat_loss"].append(float(logs["train/align_loss"]))
+            if writer:
+                step = int(trainer.state.global_step)
+                for k, v in logs.items():
+                    writer.scalar(k, float(v), step=step)
+
+        # validation + the bpp-band lambda controller
+        vals = [eval_step(trainer.state, jnp.asarray(val_x[i:i + batch]))
+                for i in range(0, n_val, batch)]
+        vbpp = float(np.mean([float(v["val/bpp"]) for v in vals]))
+        idx_before = int(trainer.state.lmbda_idx)
+        trainer.end_of_epoch({"val/bpp": vbpp})
+        idx_after = (int(trainer.state.lmbda_idx)
+                     if strategy.stage_at(epoch + 1)[0] == stage else None)
+        hist["val_bpp"].append(vbpp)
+        hist["lmbda_idx"].append(idx_before)
+        hist["stage"].append(stage)
+        if idx_after is not None and stage != "feat_wo_bpp":
+            want = (1 if vbpp > spec.bpp_upper
+                    else -1 if vbpp < spec.bpp_lower else 0)
+            got = idx_after - idx_before
+            hist["controller_moves"].append(
+                {"epoch": epoch, "val_bpp": vbpp, "want": want, "got": got})
+        if writer:
+            writer.scalar("val/bpp", vbpp, step=epoch)
+            writer.scalar("val/lmbda_idx", idx_before, step=epoch)
+        print(f"# epoch {epoch} [{stage}] val_bpp={vbpp:.4f} "
+              f"lmbda_idx={idx_before}"
+              + (f"->{idx_after}" if idx_after is not None else ""),
+              file=sys.stderr, flush=True)
+    hist["pix_psnr"].append(val_psnr())
+    if writer:
+        writer.close()
+
+    k = max(3, len(hist["feat_loss"]) // 8)
+    feat_first = float(np.mean(hist["feat_loss"][:k]))
+    feat_last = float(np.mean(hist["feat_loss"][-k:]))
+    feat_epochs = [b for b, s in zip(hist["val_bpp"], hist["stage"])
+                   if s != "feat_wo_bpp"]
+    summary = {
+        "metric": "tiny_3stage_convergence",
+        "steps_per_epoch": steps_per_epoch, "epochs": list(epochs),
+        "batch": batch, "lr": lr, "band": list(band),
+        "feat_loss_first": round(feat_first, 4),
+        "feat_loss_last": round(feat_last, 4),
+        "feat_loss_decreased": feat_last < feat_first,
+        "controller_moves": hist["controller_moves"],
+        "controller_correct": all(
+            m["got"] == m["want"] or (m["want"] != 0 and m["got"] == 0)
+            for m in hist["controller_moves"]),   # 0 when clamped at an end
+        "val_bpp_trajectory": [round(b, 4) for b in hist["val_bpp"]],
+        "lmbda_idx_trajectory": hist["lmbda_idx"],
+        "final_val_bpp": round(hist["val_bpp"][-1], 4),
+        "final_bpp_in_band": band[0] <= feat_epochs[-1] <= band[1]
+        if feat_epochs else False,
+        "pix_psnr_start": round(hist["pix_psnr"][0], 3),
+        "pix_psnr_end": round(hist["pix_psnr"][-1], 3),
+        "pix_psnr_improved": hist["pix_psnr"][-1] > hist["pix_psnr"][0],
+        "wall_s": round(time.time() - t0, 1),
+    }
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default="TRAIN_r03.json")
+    ap.add_argument("--log_dir", type=str, default=None)
+    ap.add_argument("--steps_per_epoch", type=int, default=24)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    args = ap.parse_args()
+    summary = run(steps_per_epoch=args.steps_per_epoch, lr=args.lr,
+                  log_dir=args.log_dir)
+    Path(args.out).write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
