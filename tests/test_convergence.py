@@ -39,6 +39,14 @@ def test_lambda_controller_steps_correctly(summary):
     assert summary["controller_correct"], summary["controller_moves"]
 
 
+def test_val_bpp_enters_band(summary):
+    # trajectory starts above the calibrated band and passes into it
+    # during a band-enforced epoch (it cannot HOLD the band at tiny
+    # scale — see the calibration note in train_convergence.run)
+    assert summary["val_bpp_trajectory"][0] > summary["band"][1], summary
+    assert summary["band_entered"], summary
+
+
 def test_pix_stage_psnr_does_not_degrade(summary):
     # at this step count we require improvement-or-hold; the committed
     # TRAIN artifact demonstrates the longer run's strict improvement
