@@ -39,22 +39,42 @@ def _flops(compiled) -> float:
         return 0.0
 
 
-def time_fn(fn, make_args, reps: int = 6):
+def time_fn(fn, make_args, reps: int = 6, static_args=()):
     """Median seconds over ``reps`` runs on FRESH args; each rep fenced by a
-    full np.asarray of every output leaf."""
+    full np.asarray of every output leaf.
+
+    ``static_args`` (e.g. the model params) are prepended to every call
+    but placed on device ONCE, outside the clock — passing them as jit
+    arguments instead of letting the closure capture them keeps multi-GB
+    weights out of the lowered HLO's constant pool (a closure-captured
+    flagship checkpoint serializes ~2 GB of constants into every compile,
+    which through the dev tunnel dominates the measurement)."""
     import jax
 
     def fence(out):
+        """Force full execution with a ONE-element fetch per leaf.
+
+        A full np.asarray would add the whole result's tunnel transfer to
+        the clock (the 512px decode output is ~100 MB ≈ seconds of link
+        time) — this profiler wants device compute, and the deployment
+        paths leave these intermediates on device.  Fetching one element
+        still forces the computation to complete (the tunnel executes
+        lazily but cannot serve element 0 without running the program)."""
+        for leaf in jax.tree.leaves(out):
+            np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
+    def fence_full(out):
         for leaf in jax.tree.leaves(out):
             np.asarray(leaf)
 
-    fence(fn(*make_args(0)))          # warm/compile
+    static_args = jax.block_until_ready(static_args)
+    fence(fn(*static_args, *make_args(0)))          # warm/compile
     ts = []
     for r in range(1, reps + 1):
         args = make_args(r)
-        fence(args)                   # materialize inputs outside the clock
+        fence_full(args)              # materialize inputs outside the clock
         t0 = time.perf_counter()
-        fence(fn(*args))
+        fence(fn(*static_args, *args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -101,7 +121,7 @@ def main():
 
     # -- titok transformer alone (per-tile ViT without the detail branch) ----
     @jax.jit
-    def titok_only(x01):
+    def titok_only(params, x01):
         def run(m, x01):
             enc = m.hybrid_codec.encoder
             s = enc.spec
@@ -122,11 +142,11 @@ def main():
             for i in range(s.num_layers):
                 x = enc.transformer[i](x)
             return x
-        return model.apply(rt.params, x01, method=run)
+        return model.apply(params, x01, method=run)
 
     @jax.jit
-    def encode_full(x01):
-        return model.apply(rt.params, x01, method=Codec.encode_stage)
+    def encode_full(params, x01):
+        return model.apply(params, x01, method=Codec.encode_stage)
 
     def bottleneck_chain(h):
         packed, y_hat = rt.h_coder.compress_plan(h, q_idx=0)
@@ -136,10 +156,12 @@ def main():
     flops = {}
 
     x0 = fresh_x(999)[0]
-    stages["encode_full"] = time_fn(encode_full, fresh_x, args.reps)
-    flops["encode_full"] = _flops(encode_full.lower(x0).compile())
-    stages["titok_only"] = time_fn(titok_only, fresh_x, args.reps)
-    flops["titok_only"] = _flops(titok_only.lower(x0).compile())
+    stages["encode_full"] = time_fn(encode_full, fresh_x, args.reps,
+                                    static_args=(rt.params,))
+    flops["encode_full"] = _flops(encode_full.lower(rt.params, x0).compile())
+    stages["titok_only"] = time_fn(titok_only, fresh_x, args.reps,
+                                   static_args=(rt.params,))
+    flops["titok_only"] = _flops(titok_only.lower(rt.params, x0).compile())
 
     # bottleneck: fresh h per rep (computed outside the clock)
     _, h0, _ = rt._encode(rt.params, x0)
