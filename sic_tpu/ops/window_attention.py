@@ -79,15 +79,18 @@ def window_attention(q, k, v, bias, scale: float):
     bias: (nW, s, s) additive logits bias (position bias + shift mask),
     indexed by ``g % nW``.  Returns (G, s, d).
 
-    Implementation selection: the XLA einsum path batches all G windows
-    into large MXU matmuls and measures ~16% FASTER than the one-window-
-    per-program Pallas kernel at the shipped geometry (G=512, s=256,
-    d=64, bf16: 31.6 vs 37.5 ms on one v5e), so it is the default; set
-    SIC_WINDOW_ATTN=pallas to force the kernel (bench cross-checks both
-    every run)."""
+    Implementation selection: the Pallas kernel is the TPU default.  An
+    earlier standalone timing (G=512 single-op: 31.6 ms XLA vs 37.5 ms
+    Pallas) picked XLA, but standalone op timings through the dev tunnel
+    carry ~30-45 ms of fixed per-call overhead (input upload + RTT) that
+    swamps the kernels; MARGINAL cost inside a jitted multi-block stack
+    — timing 1-block vs 4-block stacks and subtracting — shows the
+    kernel ahead at the shipped swin geometry (9.5 vs 11.9 ms/block,
+    B=32 feat grid 32x32x768, one v5e).  Set SIC_WINDOW_ATTN=xla to
+    force the einsum path (bench cross-checks both every run)."""
     if jax.devices()[0].platform != "tpu":
         return _forward_reference(q, k, v, bias, scale)
-    if os.environ.get("SIC_WINDOW_ATTN", "xla") == "pallas":
+    if os.environ.get("SIC_WINDOW_ATTN", "pallas") == "pallas":
         return _pallas_forward(q, k, v, bias, scale)
     return _forward_reference(q, k, v, bias, scale)
 
