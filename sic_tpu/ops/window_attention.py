@@ -228,12 +228,111 @@ def window_attention_nhwc(qkv, bias, scale: float, heads: int):
     return _nhwc_pallas(qkv, bias, scale, heads)
 
 
+def _nhwc_bwd_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
+                     heads, scale, nB):
+    """Recompute-attention VJP for one window, all heads.
+
+    Grid order is (nwh, nww, B): every program mapping to a given dbias
+    block forms one contiguous run, so the f32 accumulator lives in VMEM
+    across the run and is flushed to HBM exactly once.
+    """
+    ws = qkv_ref.shape[1]
+    c3 = qkv_ref.shape[3]
+    C = c3 // 3
+    d = C // heads
+    s = ws * ws
+    qkv = qkv_ref[0].reshape(s, c3)
+    bias = bias_ref[0]                               # (s, s) f32
+    g = g_ref[0].reshape(s, C).astype(jnp.float32)
+    dqs, dks, dvs = [], [], []
+    db = jnp.zeros((s, s), jnp.float32)
+    for h in range(heads):
+        q = qkv[:, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv[:, C + h * d:C + (h + 1) * d].astype(jnp.float32)
+        v = qkv[:, 2 * C + h * d:2 * C + (h + 1) * d].astype(jnp.float32)
+        gh = g[:, h * d:(h + 1) * d]
+        dots = jnp.dot(q * scale, k.T,
+                       preferred_element_type=jnp.float32) + bias
+        probs = jax.nn.softmax(dots, axis=-1)
+        dv = jnp.dot(probs.T, gh, preferred_element_type=jnp.float32)
+        dprobs = jnp.dot(gh, v.T, preferred_element_type=jnp.float32)
+        ddots = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                          keepdims=True))
+        dq = jnp.dot(ddots, k, preferred_element_type=jnp.float32) * scale
+        dk = jnp.dot(ddots.T, q, preferred_element_type=jnp.float32) * scale
+        db = db + ddots
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)
+    dqkv_ref[0] = dqkv.reshape(ws, ws, c3).astype(dqkv_ref.dtype)
+
+    i, j, b = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    if nB == 1:
+        first = (i == 0) & (j == 0) & (b == 0)
+    else:
+        first = b == 0
+
+    @pl.when(first)
+    def _init():
+        dbias_ref[0] = db
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dbias_ref[0] += db
+
+
+def _nhwc_bwd_pallas(qkv, bias, g, scale: float, heads: int,
+                     interpret: bool = False):
+    B, H, W, c3 = qkv.shape
+    C = c3 // 3
+    s = bias.shape[-1]
+    ws = int(round(s ** 0.5))
+    nwh, nww = H // ws, W // ws
+    nB = bias.shape[0]
+    if nB not in (1, nwh * nww):
+        # a partially-shared bias would revisit dbias blocks
+        # non-contiguously, breaking the in-VMEM accumulation run
+        raise ValueError(f"bias rows must be 1 or {nwh * nww}, got {nB}")
+    kern = functools.partial(_nhwc_bwd_kernel, heads=heads, scale=scale,
+                             nB=nB)
+    bias_map = lambda i, j, b, nww=nww, nB=nB: ((i * nww + j) % nB, 0, 0)
+    blk = lambda i, j, b: (b, i, j, 0)
+    return pl.pallas_call(
+        kern,
+        grid=(nwh, nww, B),
+        in_specs=[
+            pl.BlockSpec((1, ws, ws, c3), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), bias_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ws, ws, C), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ws, ws, c3), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), bias_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, c3), qkv.dtype),
+            jax.ShapeDtypeStruct((nB, s, s), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=11 * B * nwh * nww * heads * s * s * (C // heads),
+            bytes_accessed=B * H * W * (2 * c3 + C) * qkv.dtype.itemsize
+            + 2 * nB * s * s * 4,
+            transcendentals=B * nwh * nww * heads * s * s),
+        interpret=interpret,
+    )(qkv, bias, g)
+
+
 def _nhwc_fwd(qkv, bias, scale, heads):
     return window_attention_nhwc(qkv, bias, scale, heads), (qkv, bias)
 
 
 def _nhwc_bwd(scale, heads, res, g):
     qkv, bias = res
+    if jax.devices()[0].platform == "tpu" and \
+            os.environ.get("SIC_WINDOW_ATTN", "pallas") == "pallas":
+        dqkv, dbias = _nhwc_bwd_pallas(qkv, bias, g, scale, heads)
+        return dqkv, dbias.astype(bias.dtype)
     _, vjp = jax.vjp(lambda a, b: _nhwc_reference(a, b, scale, heads),
                      qkv, bias)
     return vjp(g)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sic_tpu.ops.window_attention import (_forward_reference, _pallas_forward,
                                           window_attention)
@@ -100,6 +101,31 @@ def test_nhwc_gradients_match_reference_autodiff():
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("nB", [1, 4])
+def test_nhwc_bwd_kernel_matches_reference_vjp(nB):
+    """The fused Pallas backward (interpret mode) must match autodiff
+    through the einsum reference for both bias layouts."""
+    from sic_tpu.ops.window_attention import (_nhwc_bwd_pallas,
+                                              _nhwc_reference)
+    qkv, bias = _nhwc_inputs(nB=nB, seed=7)
+    g = jax.random.normal(jax.random.PRNGKey(9), qkv.shape[:3] + (qkv.shape[3] // 3,))
+    _, vjp = jax.vjp(lambda a, b: _nhwc_reference(a, b, 0.5, 2), qkv, bias)
+    dqkv_ref, dbias_ref = vjp(g)
+    dqkv, dbias = _nhwc_bwd_pallas(qkv, bias, g, 0.5, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_nhwc_bwd_kernel_rejects_partial_bias_sharing():
+    from sic_tpu.ops.window_attention import _nhwc_bwd_pallas
+    qkv, bias = _nhwc_inputs(nB=2)
+    g = jnp.zeros(qkv.shape[:3] + (qkv.shape[3] // 3,))
+    with pytest.raises(ValueError, match="bias rows"):
+        _nhwc_bwd_pallas(qkv, bias, g, 0.5, 2, interpret=True)
 
 
 def test_swin_block_output_unchanged_by_rewire():
