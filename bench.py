@@ -252,12 +252,16 @@ def decode_latency(rt, encs, reps: int = LAT_REPS, output: str = "float"):
 
 
 def encode_latency(rt, reps: int = LAT_REPS):
-    """Single-request encode latency p50 (ms): what /compress callers feel."""
-    x = jax.random.uniform(jax.random.PRNGKey(7), (1, SIZE, SIZE, 3),
-                           minval=-1.0, maxval=1.0)
-    rt.encode_only(x)                 # warm (jit-cached from the batch=1 path)
+    """Single-request encode latency p50 (ms): what /compress callers feel.
+    Rotates fresh inputs so the tunnel's identical-computation memoization
+    can't serve cached results (same policy as decode_latency)."""
+    xs = [jax.random.uniform(jax.random.PRNGKey(700 + i),
+                             (1, SIZE, SIZE, 3), minval=-1.0, maxval=1.0)
+          for i in range(4)]
+    rt.encode_only(xs[0])             # warm (jit-cached from the batch=1 path)
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
+        x = xs[1 + (i % (len(xs) - 1))]
         t0 = time.perf_counter()
         rt.encode_only(x)             # returns bytes: fully synchronous
         ts.append((time.perf_counter() - t0) * 1000.0)
@@ -293,6 +297,23 @@ def main():
     result["decode_p50_ms"] = round(p50, 1)
     result["decode_p90_ms"] = round(p90, 1)
     result["encode_p50_ms"] = round(encode_latency(rt), 1)
+    # encode path cross-check + host-coder comparison: on TPU encode_only
+    # entropy-codes the h stream ON DEVICE (ops/rans_encode.py) for B=1;
+    # the streams must be byte-identical to the host coder's
+    x_enc_chk = jnp.asarray(jax.random.uniform(
+        jax.random.PRNGKey(71), (1, SIZE, SIZE, 3), minval=-1.0, maxval=1.0))
+    enc_dev = rt.encode_only(x_enc_chk)
+    rt.device_entropy = "host"
+    result["encode_p50_ms_hostpath"] = round(
+        encode_latency(rt, reps=max(5, LAT_REPS // 2)), 1)
+    enc_host = rt.encode_only(x_enc_chk)
+    rt.device_entropy = "auto"
+    if jax.devices()[0].platform == "tpu":
+        assert enc_dev["h_bit_stream"] == enc_host["h_bit_stream"], \
+            "device-entropy ENCODE diverged from host coder"
+        result["device_rans_encode_check"] = "pass"
+    else:
+        result["device_rans_encode_check"] = "skipped_not_tpu"
     # serving path: u8 pixels converted on device (4x smaller fetch)
     p50_u8, _ = decode_latency(rt, encs[::-1], reps=max(5, LAT_REPS // 2),
                                output="u8")

@@ -263,6 +263,20 @@ class BottleneckCoder:
                            i.astype(jnp.int16)])
                 for s, i in planes])
 
+        @functools.partial(jax.jit, static_argnames=("real", "nparts"))
+        def _prep_rows(sym_plane, idx_plane, real, nparts):
+            """(Bc, H, W, Cq) planes -> (real*nparts, n/nparts) int32 rows
+            in REVERSE position order (rANS is LIFO), per-part split
+            matching the C++ contiguous chunking (sic_rans.cc:297-308);
+            int16 clamp matches the host boundary (entropy_models.py:67)."""
+            s = jnp.clip(sym_plane[:real], -30000, 30000).astype(jnp.int32)
+            i = idx_plane[:real].astype(jnp.int32)
+            n = s.shape[1] * s.shape[2] * s.shape[3]
+            s = s.reshape(real * nparts, n // nparts)[:, ::-1]
+            i = i.reshape(real * nparts, n // nparts)[:, ::-1]
+            return s, i
+
+        self._prep_rows = _prep_rows
         self._encode_transform = _encode_transform
         self._decode_transform = _decode_transform
         self._prior = _prior
@@ -364,6 +378,114 @@ class BottleneckCoder:
                         self._decode_transform(
                             p, y_hat_so_far * quant_step, q_idx)[:real]))
         return out
+
+    def compress_device(self, y, q_idx: int = 0, interpret: bool = False):
+        """Device chain + ON-DEVICE rANS encode (``ops.rans_encode``): the
+        host boundary carries only the finished entropy words (~8x smaller
+        than the packed int16 planes) plus a 16-byte meta row per
+        substream.  Returns ``(streams, y_hat)`` with one PER-IMAGE framed
+        bit stream per input image (the :meth:`encode_packed_many` wire
+        semantics, byte-identical output).
+
+        The emission buffer starts at ~0.5 byte/position and doubles on
+        the kernel's overflow signal (each size is one cached compile);
+        past 2 bytes/position — or if the plane doesn't split evenly
+        across substreams — the packed planes are fetched and the host
+        coder takes over, so this path can never fail, only fall back.
+        """
+        from ..ops.rans_encode import (finalize_streams, frame_substreams,
+                                       rans_encode_plane)
+
+        p = self.params
+        B = y.shape[0]
+        Bc = self.coding_batch
+        nparts = self.stream_part
+
+        per_chunk = []        # (real, planes, y_hat) with device arrays
+        for start, real in self._chunk_batches(B):
+            yc = y[start:start + real]
+            if real < Bc:
+                yc = jnp.pad(yc, ((0, Bc - real),) + ((0, 0),) * (y.ndim - 1))
+            y_t = self._encode_transform(p, yc, q_idx)
+            quant_step, scales, means, common, idx0 = self._prior(
+                p, tuple(y_t.shape[:3]), q_idx)
+            y_div = y_t / quant_step
+            y_hat_so_far = jnp.zeros_like(y_div)
+            planes = []
+            for step in range(4):
+                if step > 0:
+                    scales, means, idx = self._spatial_step(
+                        p, step, y_hat_so_far, common)
+                else:
+                    idx = idx0
+                sym_plane = self._write_plane(y_div, scales, means, step)
+                planes.append((sym_plane, idx))
+                y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
+                                                               means, step)
+            per_chunk.append((real, planes, self._decode_transform(
+                p, y_hat_so_far * quant_step, q_idx)[:real]))
+
+        y_hat = (per_chunk[0][2] if len(per_chunk) == 1 else
+                 jnp.concatenate([c[2] for c in per_chunk], axis=0))
+
+        def _host_fallback():
+            packed = np.concatenate(
+                [np.asarray(self._pack_planes(planes)[:, :, :real])
+                 for real, planes, _ in per_chunk], axis=2)
+            return self.encode_packed_many(packed), y_hat
+
+        H, W, Cq = (int(per_chunk[0][1][0][0].shape[1]),
+                    int(per_chunk[0][1][0][0].shape[2]),
+                    int(per_chunk[0][1][0][0].shape[3]))
+        n = H * W * Cq
+        if n % nparts != 0:
+            return _host_fallback()
+        npos = n // nparts
+        S_real = B * nparts
+        S = -(-S_real // 8) * 8
+
+        # per plane step: concatenated reversed per-part rows of every
+        # real image, padded to the kernel's 8-lane grouping with idx=-1
+        step_rows = []
+        for step in range(4):
+            chunk_rows = [self._prep_rows(planes[step][0], planes[step][1],
+                                          real, nparts)
+                          for real, planes, _ in per_chunk]
+            syms = jnp.concatenate([r[0] for r in chunk_rows])
+            idxs = jnp.concatenate([r[1] for r in chunk_rows])
+            if S != S_real:
+                syms = jnp.pad(syms, ((0, S - S_real), (0, 0)))
+                idxs = jnp.pad(idxs, ((0, S - S_real), (0, 0)),
+                               constant_values=-1)
+            step_rows.append((syms, idxs))
+
+        npos_total = 4 * npos
+        bucket = 512
+        while bucket * 4 < npos_total // 2:     # start ~0.5 byte/position
+            bucket *= 2
+        cap = bucket
+        while cap * 4 < npos_total * 2:         # cap at 2 bytes/position
+            cap *= 2
+
+        while True:
+            words = jnp.zeros((S, bucket), jnp.uint32)
+            meta = jnp.zeros((S, 4), jnp.uint32).at[:, 0].set(1 << 23)
+            for step in (3, 2, 1, 0):           # LIFO flush order
+                words, meta = rans_encode_plane(
+                    step_rows[step][0], step_rows[step][1], words, meta,
+                    self._dev_cdf, self._dev_cdf_len, self._dev_cdf_off,
+                    interpret=interpret)
+            words_np, meta_np = jax.device_get((words, meta))
+            parts = finalize_streams(words_np, meta_np, S_real)
+            if parts is not None:
+                break
+            if bucket >= cap:
+                return _host_fallback()
+            bucket *= 2
+
+        streams = [frame_substreams(parts[b * nparts:(b + 1) * nparts])
+                   for b in range(B)]
+        return streams, y_hat
 
     def compress_plan(self, y, q_idx: int = 0):
         """One-shot form of :meth:`compress_plan_chunks`: returns

@@ -305,18 +305,39 @@ class CodecRuntime:
         if self.mesh is not None:
             from ..parallel import shard_batch
             x01 = shard_batch(x01, self.mesh)
-        with timed_stage(timer, "encode_device"):
-            z_indices, h, _ = self._encode(self.params, x01)
-            packed_dev, _ = self.h_coder.compress_plan(h, q_idx=0)
-        # tile grid is a static function of the padded image size
-        stack_shape = (H // self.spec.tile_px, W // self.spec.tile_px)
+        # single-image latency path: entropy-code the h stream ON DEVICE
+        # (ops/rans_encode.py) so the host boundary carries the finished
+        # words (~8x smaller than the packed planes) instead of every
+        # symbol.  Batched encodes keep host coding: there the fetch +
+        # rANS already overlap the next chunk's device compute, while
+        # device coding would ADD device time on the critical path.
+        use_dev_enc = (B == 1 and self.device_entropy != "host"
+                       and (self.device_entropy == "device"
+                            or jax.default_backend() == "tpu"))
+        if use_dev_enc:
+            with timed_stage(timer, "encode_device"):
+                z_indices, h, _ = self._encode(self.params, x01)
+                streams, _ = self.h_coder.compress_device(
+                    h, q_idx=0,
+                    interpret=jax.default_backend() != "tpu")
+            stack_shape = (H // self.spec.tile_px, W // self.spec.tile_px)
+            with timed_stage(timer, "fetch"):
+                z_np = jax.device_get(z_indices)
+            with timed_stage(timer, "h_rans"):
+                h_bit_stream = streams[0]      # framed on device fetch
+        else:
+            with timed_stage(timer, "encode_device"):
+                z_indices, h, _ = self._encode(self.params, x01)
+                packed_dev, _ = self.h_coder.compress_plan(h, q_idx=0)
+            # tile grid is a static function of the padded image size
+            stack_shape = (H // self.spec.tile_px, W // self.spec.tile_px)
 
-        with timed_stage(timer, "fetch"):
-            # one batched device->host fetch for both streams' inputs
-            z_np, packed = jax.device_get((z_indices, packed_dev))
+            with timed_stage(timer, "fetch"):
+                # one batched device->host fetch for both streams' inputs
+                z_np, packed = jax.device_get((z_indices, packed_dev))
 
-        with timed_stage(timer, "h_rans"):
-            h_bit_stream = self.h_coder.encode_packed(packed)
+            with timed_stage(timer, "h_rans"):
+                h_bit_stream = self.h_coder.encode_packed(packed)
 
         with timed_stage(timer, "z_rans"):
             idx_np = z_np.reshape(-1)

@@ -1,0 +1,334 @@
+"""On-device rANS plane encoder (Pallas TPU kernel).
+
+Encodes four-part-prior symbol planes for many independent rANS substreams
+entirely on the TPU — the mirror of ``rans_decode.py``.  The symbols and
+CDF indexes produced by the device encode chain never cross the host
+boundary: only the finished entropy-coded words (~8x smaller than the
+int16 symbol planes) are fetched.  On a tunnel-attached chip this removes
+the packed-plane fetch AND the host coding from the single-image encode
+path; on locally-attached chips it removes the host from the encode path
+entirely.
+
+Bit-level semantics are an exact port of the native encoder
+(``sic_tpu/cpp/sic_rans.cc:40-135``, wire-compatible with the reference
+coder, reference: src/cpp/rans/rans.cpp:29-99):
+
+- rANS encoding is last-in-first-out: the C++ buffers Sym{start, range}
+  entries across all ``encode_with_indexes`` calls and ``flush`` walks
+  them in reverse, emitting renormalisation bytes.  The kernel therefore
+  walks PRE-REVERSED position rows, planes passed last-to-first, with the
+  (state, byte cursor, word buffer) threaded through the per-plane calls;
+- per symbol: renormalise while ``x >= freq << 15`` (byte emission), then
+  ``x = (x / freq) << 16 | (x % freq) + start`` (sic_rans.cc:40-50);
+- out-of-range symbols escape to 2-bit bypass chunks: in reverse order the
+  chunks come first (high chunk first), then the saturating count entries
+  (remainder first), then the ``max_value`` slot symbol (sic_rans.cc:92-108
+  reversed);
+- the finished stream is ``LE32(final x) + emitted bytes reversed``
+  (sic_rans.cc:111-133); the cheap byte reversal happens on host.
+
+TPU mapping: identical to the decoder — 8 substreams in lockstep per
+program, one scalar per sublane, one-hot MXU matmuls for the CDF row
+gather, masked (8, nwords) OR-writes for byte emission.  The one
+operation rANS encode needs that decode does not is an exact 31-bit /
+16-bit integer division; at the division point renormalisation guarantees
+``x < freq * 2**15`` so the quotient fits 15 bits, and a float32
+reciprocal estimate corrected by exact uint32 multiply-compare steps (at
+most 2 each way) reproduces the integer division exactly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PROB_BITS = 16
+_RANS_L = 1 << 23
+_BYPASS_BITS = 2
+_BYPASS_MAX = (1 << _BYPASS_BITS) - 1
+_LANES = 8    # substreams encoded in lockstep per kernel program
+_CHUNK = 128  # positions walked per statically-addressed plane chunk
+_MAX_CHUNKS = 16   # bypass chunk entries walked (decoder reads <= 16)
+_MAX_COUNT = 5     # saturating count entries beyond the remainder entry
+
+
+def _encode_kernel(sym_ref, idx_ref, cdf_ref, sizes_ref, offs_ref,
+                   words_in_ref, meta_in_ref,
+                   words_ref, meta_ref):
+    """Encode one (pre-reversed) plane for 8 lockstep substreams.
+
+    meta rows are (8, 4) uint32: [x, byte cursor, overflow flag, 0].
+    """
+    npos = sym_ref.shape[1]
+    nwords = words_in_ref.shape[1]
+    ncdf, width = cdf_ref.shape
+    cap = jnp.uint32(nwords * 4)
+
+    cdf_i32 = cdf_ref[:, :]
+    cdf_hi = (cdf_i32 >> 8).astype(jnp.float32)        # values <= 256
+    cdf_lo = (cdf_i32 & 0xFF).astype(jnp.float32)      # values <  256
+    sizes_row = sizes_ref[0, :].reshape(1, ncdf)
+    offs_row = offs_ref[0, :].reshape(1, ncdf)
+
+    word_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nwords), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    cdf_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ncdf), 1)
+
+    def sel(mask, values):
+        """Per-lane masked reduce: (8, N) mask x (8|1, N) values -> (8, 1)."""
+        return jnp.sum(jnp.where(mask, values, jnp.zeros_like(values)),
+                       axis=1, keepdims=True)
+
+    def emit_byte(words, pos, ov, byte, emit):
+        """Append ``byte`` at per-lane cursor ``pos`` where ``emit``."""
+        ok = pos < cap
+        ov = jnp.logical_or(ov, jnp.logical_and(emit, jnp.logical_not(ok)))
+        do = jnp.logical_and(emit, ok)
+        mask = jnp.logical_and(word_ids == (pos >> 2).astype(jnp.int32), do)
+        shift = jnp.uint32(8) * (pos & 3)
+        words = jnp.where(mask, words | (byte << shift), words)
+        pos = jnp.where(do, pos + 1, pos)
+        return words, pos, ov
+
+    def put_symbol(x, words, pos, ov, start, freq, active):
+        """sic_rans.cc:40-50 under a per-lane mask; exact division via
+        f32 reciprocal + uint32 correction (quotient < 2**15)."""
+        x_max = freq << 15
+        for _ in range(2):   # renorm: x < 2**31 drains in <= 2 byte steps
+            emit = jnp.logical_and(active, x >= x_max)
+            words, pos, ov = emit_byte(words, pos, ov, x & jnp.uint32(0xFF),
+                                       emit)
+            x = jnp.where(emit, x >> 8, x)
+        freq_safe = jnp.maximum(freq, jnp.uint32(1))
+        q = (x.astype(jnp.float32) /
+             freq_safe.astype(jnp.float32)).astype(jnp.uint32)
+        for _ in range(2):   # q too high: uint32 x - q*freq wrapped huge
+            over = (q * freq_safe) > x
+            q = jnp.where(over, q - 1, q)
+        r = x - q * freq_safe
+        for _ in range(2):   # q too low
+            under = r >= freq_safe
+            q = jnp.where(under, q + 1, q)
+            r = jnp.where(under, r - freq_safe, r)
+        x_new = (q << _PROB_BITS) + r + start
+        return jnp.where(active, x_new, x), words, pos, ov
+
+    def put_raw2(x, words, pos, ov, val, active):
+        """sic_rans.cc:52-61 with nbits=2: x_max = 2**29, one byte max."""
+        emit = jnp.logical_and(active, x >= jnp.uint32(1 << 29))
+        words, pos, ov = emit_byte(words, pos, ov, x & jnp.uint32(0xFF), emit)
+        x = jnp.where(emit, x >> 8, x)
+        x_new = (x << _BYPASS_BITS) | val
+        return jnp.where(active, x_new, x), words, pos, ov
+
+    def make_body(sym_chunk, idx_chunk, lane_ids):
+      def body(j, carry):
+        x, pos, words, ov = carry
+        at_j = lane_ids == j                           # (1, 128)
+        at8 = jnp.broadcast_to(at_j, idx_chunk.shape)
+        cdf_idx = sel(at8, idx_chunk)                  # (8, 1)
+        symbol = sel(at8, sym_chunk)
+        active = cdf_idx >= 0
+        safe_idx = jnp.maximum(cdf_idx, 0)
+
+        onehot = (cdf_ids == safe_idx).astype(jnp.float32)   # (8, ncdf)
+        dims = (((1,), (0,)), ((), ()))
+        row_hi = jax.lax.dot_general(onehot, cdf_hi, dims,
+                                     preferred_element_type=jnp.float32)
+        row_lo = jax.lax.dot_general(onehot, cdf_lo, dims,
+                                     preferred_element_type=jnp.float32)
+        row = (row_hi.astype(jnp.int32) << 8) | row_lo.astype(jnp.int32)
+        size = sel(cdf_ids == safe_idx, sizes_row)
+        offset = sel(cdf_ids == safe_idx, offs_row)
+        max_value = size - 2
+
+        value = symbol - offset
+        neg = value < 0
+        big = jnp.logical_and(jnp.logical_not(neg), value >= max_value)
+        raw_val = jnp.where(
+            neg, -2 * value - 1,
+            jnp.where(big, 2 * (value - max_value), 0)).astype(jnp.uint32)
+        esc = jnp.logical_and(active, jnp.logical_or(neg, big))
+        slot = jnp.where(jnp.logical_or(neg, big), max_value, value)
+
+        # escape entries come FIRST in reverse order (sic_rans.cc:92-108
+        # walked backwards): chunks high-to-low, then the remainder count
+        # entry, then the saturating kBypassMax count entries.
+        def esc_branch(args):
+            x, pos, words, ov = args
+            chunk_ids = jax.lax.broadcasted_iota(
+                jnp.uint32, (1, _MAX_CHUNKS), 1)
+            shifts = raw_val >> (jnp.uint32(_BYPASS_BITS) * chunk_ids)
+            n_bypass = jnp.sum((shifts != 0).astype(jnp.int32), axis=1,
+                               keepdims=True)          # (8, 1)
+            for j2 in range(_MAX_CHUNKS - 1, -1, -1):
+                go = jnp.logical_and(esc, j2 < n_bypass)
+                chunk = (raw_val >> jnp.uint32(_BYPASS_BITS * j2)) \
+                    & jnp.uint32(_BYPASS_MAX)
+                x, words, pos, ov = put_raw2(x, words, pos, ov, chunk, go)
+            rem = (n_bypass % _BYPASS_MAX).astype(jnp.uint32)
+            nsat = n_bypass // _BYPASS_MAX
+            x, words, pos, ov = put_raw2(x, words, pos, ov, rem, esc)
+            for t in range(_MAX_COUNT):
+                go = jnp.logical_and(esc, t < nsat)
+                x, words, pos, ov = put_raw2(x, words, pos, ov,
+                                             jnp.uint32(_BYPASS_MAX), go)
+            return x, pos, words, ov
+
+        x, pos, words, ov = jax.lax.cond(
+            jnp.any(esc), esc_branch, lambda a: a, (x, pos, words, ov))
+
+        start = sel(col_ids == slot, row).astype(jnp.uint32) \
+            & jnp.uint32(0xFFFF)
+        nxt = sel(col_ids == slot + 1, row).astype(jnp.uint32)
+        freq = (nxt - start) & jnp.uint32(0xFFFF)   # uint16 wrap as the C++
+        x, words, pos, ov = put_symbol(x, words, pos, ov, start, freq,
+                                       active)
+        return x, pos, words, ov
+      return body
+
+    x = meta_in_ref[:, 0:1]
+    pos = meta_in_ref[:, 1:2]
+    ov = meta_in_ref[:, 2:3] != 0
+    words = words_in_ref[:, :]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
+    for c in range(npos // _CHUNK):
+        sym_chunk = sym_ref[:, c * _CHUNK:(c + 1) * _CHUNK]
+        idx_chunk = idx_ref[:, c * _CHUNK:(c + 1) * _CHUNK]
+        x, pos, words, ov = jax.lax.fori_loop(
+            0, _CHUNK, make_body(sym_chunk, idx_chunk, lane_ids),
+            (x, pos, words, ov))
+    words_ref[:, :] = words
+    meta_ref[:, :] = jnp.concatenate(
+        [x, pos, ov.astype(jnp.uint32),
+         jnp.zeros((_LANES, 1), jnp.uint32)], axis=1)
+
+
+def _encode_call(sym, idx, cdf, sizes, offsets, words, meta, interpret):
+    S, npos = sym.shape
+    ncdf, width = cdf.shape
+    nwords = words.shape[1]
+    row = lambda i: (i, 0)
+    return pl.pallas_call(
+        _encode_kernel,
+        grid=(S // _LANES,),
+        in_specs=[
+            pl.BlockSpec((_LANES, npos), row),
+            pl.BlockSpec((_LANES, npos), row),
+            pl.BlockSpec((ncdf, width), lambda i: (0, 0)),
+            pl.BlockSpec((1, ncdf), lambda i: (0, 0)),
+            pl.BlockSpec((1, ncdf), lambda i: (0, 0)),
+            pl.BlockSpec((_LANES, nwords), row),
+            pl.BlockSpec((_LANES, 4), row),
+        ],
+        out_specs=[
+            pl.BlockSpec((_LANES, nwords), row),
+            pl.BlockSpec((_LANES, 4), row),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, nwords), jnp.uint32),
+            jax.ShapeDtypeStruct((S, 4), jnp.uint32),
+        ],
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(sym, idx, cdf, sizes, offsets, words, meta)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rans_encode_plane(sym, idx, words, meta, cdf, sizes, offsets,
+                      interpret: bool = False):
+    """Encode one PRE-REVERSED symbol plane for S substreams on device.
+
+    Args:
+      sym:   (S, npos) int32 symbols, reverse position order.
+      idx:   (S, npos) int32 CDF-row indexes (< 0 = skipped position).
+      words: (S, nwords) uint32 emission buffer (donated and returned).
+      meta:  (S, 4) uint32 encoder state [x, byte cursor, overflow, 0];
+             seed with x = 2**23 and zeros before the LAST plane, thread
+             through calls ordered last plane -> first plane.
+      cdf/sizes/offsets: the decoder's quantized CDF tables.
+
+    Returns ``(words, meta)``.  ``S`` must be a multiple of 8; pad rows
+    with idx = -1 (they consume nothing).
+    """
+    S, npos_in = sym.shape
+    assert S % _LANES == 0, f"S={S} must be a multiple of {_LANES}"
+    npos = -(-npos_in // _CHUNK) * _CHUNK
+    if npos != npos_in:
+        # skip-padding at the END of the walk: these are the FIRST
+        # positions of the forward stream's padding, which is appended
+        # after the real positions before reversal by the caller — any
+        # skip placement is a no-op for the stream bytes
+        sym = jnp.pad(sym, ((0, 0), (0, npos - npos_in)))
+        idx = jnp.pad(idx, ((0, 0), (0, npos - npos_in)),
+                      constant_values=-1)
+    return _encode_call(sym.astype(jnp.int32), idx.astype(jnp.int32),
+                        cdf.astype(jnp.int32),
+                        sizes.reshape(1, -1).astype(jnp.int32),
+                        offsets.reshape(1, -1).astype(jnp.int32),
+                        words, meta, interpret)
+
+
+# -- host-side driver ---------------------------------------------------------
+
+def encode_buffer_words(npos_per_part: int, word_bucket: int = 512) -> int:
+    """Emission-buffer width: 2 bytes per position, pow2-bucketed so the
+    compiled-shape set stays tiny (same policy as the decoder's
+    ``pack_substreams``).  Real streams average well under 1 byte per
+    position; overflow is detected and reported by the kernel."""
+    bucket = max(1, word_bucket)
+    need = max(1, -(-npos_per_part * 2 // 4))
+    while bucket < need:
+        bucket *= 2
+    return bucket
+
+
+def split_plane_rows(plane_sym, plane_idx, nparts: int):
+    """(B, n) planes -> (B*nparts, n//nparts) per-part rows, REVERSED along
+    positions, matching the C++ contiguous part split
+    (sic_rans.cc:297-308).  Requires ``n % nparts == 0`` (true for every
+    shipped geometry; callers fall back to the host coder otherwise)."""
+    B, n = plane_sym.shape
+    assert n % nparts == 0, (n, nparts)
+    each = n // nparts
+    sym = plane_sym.reshape(B * nparts, each)[:, ::-1]
+    idx = plane_idx.reshape(B * nparts, each)[:, ::-1]
+    return sym, idx
+
+
+def frame_substreams(parts: Sequence[bytes]) -> bytes:
+    """Multi-substream container framing (sic_rans.cc:310-343, reference:
+    src/cpp/py_rans/py_rans.cpp:91-136): flag byte carries the part count
+    and header width; the last part's size is implied by the total."""
+    nparts = len(parts)
+    maximum = max((len(p) for p in parts[:-1]), default=0)
+    per_header = 4 if maximum > 65535 else 2
+    out = bytearray()
+    out.append(((nparts - 1) << 4) + (1 if per_header == 2 else 0))
+    for p in parts[:-1]:
+        out += len(p).to_bytes(per_header, "little")
+    for p in parts:
+        out += p
+    return bytes(out)
+
+
+def finalize_streams(words: np.ndarray, meta: np.ndarray,
+                     nstreams: int) -> Optional[List[bytes]]:
+    """Fetched (S, nwords) uint32 + (S, 4) meta -> per-substream byte
+    strings ``LE32(x) + emitted bytes reversed`` (sic_rans.cc:111-133).
+    Returns None if any real lane overflowed its emission buffer."""
+    if np.any(meta[:nstreams, 2] != 0):
+        return None
+    out = []
+    raw = words.view(np.uint8).reshape(words.shape[0], -1)
+    for i in range(nstreams):
+        x = int(meta[i, 0])
+        n = int(meta[i, 1])
+        out.append(int.to_bytes(x, 4, "little") + bytes(raw[i, :n][::-1]))
+    return out

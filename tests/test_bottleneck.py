@@ -128,6 +128,47 @@ def test_batch_encoded_streams_decode_per_image_bit_exact(coder):
         np.testing.assert_array_equal(np.asarray(dev_b), np.asarray(y_hat_b))
 
 
+@pytest.mark.parametrize("stream_part", [1, 4])
+def test_compress_device_matches_host_coder(stream_part):
+    """The fully device-resident ENCODE (Pallas rANS kernel over the same
+    device chain) must produce byte-identical per-image streams to the
+    host coder, and they must decode back bit-exactly."""
+    mod = CompressiveBottleneck(feat_dim=FEAT, quant_dim=QUANT, bpp_num=1)
+    y0 = jnp.zeros((1, 8, 8, FEAT))
+    params = mod.init(jax.random.PRNGKey(0), y0, img_hw=(256, 256))
+    c = BottleneckCoder(mod, params, force_zero_thres=0.12,
+                        stream_part=stream_part)
+    B = 3
+    y = jax.random.normal(jax.random.PRNGKey(11), (B, 8, 8, FEAT)) * 2.0
+
+    packed, y_hat_host = c.compress_plan(y)
+    expect = c.encode_packed_many(np.asarray(packed))
+
+    streams, y_hat_dev = c.compress_device(y, interpret=True)
+    assert len(streams) == B
+    np.testing.assert_array_equal(np.asarray(y_hat_dev),
+                                  np.asarray(y_hat_host))
+    for b in range(B):
+        assert streams[b] == expect[b], f"image {b} stream differs"
+        back = c.decompress(streams[b], (1, 8, 8, QUANT))
+        assert float(jnp.sum(jnp.abs(back - y_hat_dev[b:b + 1]))) == 0.0
+
+
+def test_compress_device_falls_back_on_ragged_split():
+    """quant planes that don't split evenly across substreams take the
+    host path transparently (same streams, no error)."""
+    mod = CompressiveBottleneck(feat_dim=FEAT, quant_dim=QUANT, bpp_num=1)
+    y0 = jnp.zeros((1, 5, 5, FEAT))
+    params = mod.init(jax.random.PRNGKey(0), y0, img_hw=(160, 160))
+    c = BottleneckCoder(mod, params, force_zero_thres=0.12, stream_part=4)
+    y = jax.random.normal(jax.random.PRNGKey(12), (1, 5, 5, FEAT)) * 2.0
+    # n = 5*5*2 = 50 positions, not divisible by 4 parts
+    packed, _ = c.compress_plan(y)
+    expect = c.encode_packed_many(np.asarray(packed))
+    streams, _ = c.compress_device(y, interpret=True)
+    assert streams[0] == expect[0]
+
+
 def test_decode_honors_stream_coding_batch():
     """A stream written under a different coding batch decodes bit-exactly
     when the decoder replays that contract (carried in the c2df header)."""

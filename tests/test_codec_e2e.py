@@ -58,6 +58,25 @@ def test_encode_decode_roundtrip_bit_exact(tiny_codec):
     np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))
 
 
+def test_device_entropy_encode_matches_host(tiny_codec):
+    """encode_only with the on-device rANS ENCODER produces the identical
+    bit streams (and thus the identical .c2df) as the host coder path."""
+    _, params = tiny_codec
+    x = jax.random.uniform(jax.random.PRNGKey(8), (1, 256, 256, 3),
+                           minval=-1.0)
+    rt_host = CodecRuntime(TINY, params, stream_part=4,
+                           device_entropy="host")
+    rt_dev = CodecRuntime(TINY, params, stream_part=4,
+                          device_entropy="device")
+    enc_h = rt_host.encode_only(x)
+    enc_d = rt_dev.encode_only(x)
+    assert enc_d["h_bit_stream"] == enc_h["h_bit_stream"]
+    assert enc_d["z_bit_stream"] == enc_h["z_bit_stream"]
+    x_hat = rt_host.decode_only(**enc_d)
+    np.testing.assert_array_equal(np.asarray(x_hat),
+                                  np.asarray(rt_host.decode_only(**enc_h)))
+
+
 def test_c2df_container_roundtrip(tiny_codec, tmp_path):
     _, params = tiny_codec
     rt = CodecRuntime(TINY, params)
