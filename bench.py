@@ -270,10 +270,31 @@ def encode_latency(rt, reps: int = LAT_REPS):
 
 
 def main():
+    """Unattended-run safety: if the full pipeline dies (e.g. a Pallas
+    kernel regression on the real chip), retry ONCE with every optional
+    kernel disabled (einsum attention + host entropy coding) so the
+    driver still records a data point; the JSON then carries
+    ``fallback_mode`` so the regression is visible."""
     import sys
+    try:
+        _main(sys.argv)
+    except Exception as e:
+        if "--cpu-baseline" in sys.argv:
+            raise
+        print(f"# bench: FULL PATH FAILED ({type(e).__name__}: {e}); "
+              "retrying with SIC_WINDOW_ATTN=xla + host entropy",
+              file=sys.stderr, flush=True)
+        os.environ["SIC_WINDOW_ATTN"] = "xla"
+        os.environ["SIC_BENCH_FALLBACK"] = "1"
+        _main(sys.argv)
+
+
+def _main(argv):
     rt, params = build(stream_part=4)
+    if os.environ.get("SIC_BENCH_FALLBACK"):
+        rt.device_entropy = "host"
     img_s, bpp, stages, encs = run(rt)
-    if "--cpu-baseline" in sys.argv:
+    if "--cpu-baseline" in argv:
         print(f"# measured CPU baseline: {img_s:.4f} img/s")
         return
 
@@ -309,9 +330,13 @@ def main():
     enc_host = rt.encode_only(x_enc_chk)
     rt.device_entropy = "auto"
     if jax.devices()[0].platform == "tpu":
-        assert enc_dev["h_bit_stream"] == enc_host["h_bit_stream"], \
-            "device-entropy ENCODE diverged from host coder"
-        result["device_rans_encode_check"] = "pass"
+        # record (don't crash): a divergence must show up in the JSON,
+        # and the rest of the bench still runs on the host coder
+        if enc_dev["h_bit_stream"] == enc_host["h_bit_stream"]:
+            result["device_rans_encode_check"] = "pass"
+        else:
+            result["device_rans_encode_check"] = "FAIL"
+            rt.device_entropy = "host"
     else:
         result["device_rans_encode_check"] = "skipped_not_tpu"
     # serving path: u8 pixels converted on device (4x smaller fetch)
@@ -363,6 +388,8 @@ def main():
         result["search_qps_100k"] = f"error: {type(e).__name__}"
     # provenance of the pinned CPU baseline in vs_baseline
     result["cpu_baseline_img_s"] = CPU_BASELINE_IMG_S
+    if os.environ.get("SIC_BENCH_FALLBACK"):
+        result["fallback_mode"] = "xla_attention+host_entropy"
     result["cpu_baseline_provenance"] = (
         "JAX_PLATFORMS=cpu python bench.py --cpu-baseline, 2026-08-16, "
         "this container (1 vCPU), SIC_BENCH_BATCH=32 pipeline")
