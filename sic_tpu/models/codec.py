@@ -373,6 +373,11 @@ class CodecRuntime:
         from ..utils.profiling import timed_stage
 
         B, H, W, _ = x.shape
+        if B == 1:
+            # single-request callers (service uploads) get the latency
+            # path: on TPU it entropy-codes the h stream on device and
+            # fetches only the finished words.  Field-compatible output.
+            return [self.encode_only(x, timer=timer)]
         x01 = jnp.asarray(x) * 0.5 + 0.5
         if self.mesh is not None:
             from ..parallel import shard_batch
