@@ -15,6 +15,27 @@ def init_func(seed: int = 0):
     np.random.seed(seed)
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache for every production entry point: a
+    service restart or repeat CLI run skips the multi-minute flagship
+    compiles (the reference pays a full model load per request via its
+    subprocess design — webapp.py:41-48; we pay zero after the first).
+    ``SIC_XLA_CACHE`` overrides the location; ``0``/``off`` disables."""
+    import os
+
+    loc = os.environ.get("SIC_XLA_CACHE",
+                         os.path.expanduser("~/.cache/sic_tpu/xla"))
+    if loc.lower() in ("0", "off", ""):
+        return
+    try:
+        import jax
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never block startup on it
+
+
 def progress(iterable, total=None, desc=""):
     total = total if total is not None else (
         len(iterable) if hasattr(iterable, "__len__") else None)
@@ -48,6 +69,8 @@ def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
 
     import jax
     import jax.numpy as jnp
+
+    enable_compile_cache()
 
     from ..checkpoint import load_codec_params
     from ..models import CodecRuntime, init_codec

@@ -19,6 +19,8 @@ import jax
 
 
 def main(argv=None):
+    from ._common import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description="sic_tpu train")
     ap.add_argument("--base_config", type=str, default=None,
                     help="reference-layout training YAML")
