@@ -312,6 +312,7 @@ class CodecRuntime:
         # rANS already overlap the next chunk's device compute, while
         # device coding would ADD device time on the critical path.
         use_dev_enc = (B == 1 and self.device_entropy != "host"
+                       and self.mesh is None
                        and (self.device_entropy == "device"
                             or jax.default_backend() == "tpu"))
         if use_dev_enc:
