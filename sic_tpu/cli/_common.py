@@ -15,6 +15,27 @@ def init_func(seed: int = 0):
     np.random.seed(seed)
 
 
+def respect_platform_env():
+    """Re-assert the caller's JAX_PLATFORMS choice via jax.config.
+
+    Some environments (the axon dev harness here) install a sitecustomize
+    that force-registers a remote PJRT backend and overrides the env
+    selection — a subprocess launched with ``JAX_PLATFORMS=cpu`` would
+    still dial the remote chip (and hang if the tunnel is down).  Only a
+    ``jax.config.update`` AFTER import wins, so every production entry
+    point calls this before first backend use."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 def enable_compile_cache():
     """Persistent XLA compile cache for every production entry point: a
     service restart or repeat CLI run skips the multi-minute flagship
@@ -70,6 +91,7 @@ def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
     import jax
     import jax.numpy as jnp
 
+    respect_platform_env()
     enable_compile_cache()
 
     from ..checkpoint import load_codec_params

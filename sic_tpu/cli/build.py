@@ -98,6 +98,8 @@ def download_random_picsum(need: int, out_dir, size="512x512", seed=None,
 
 
 def main(argv=None):
+    from ._common import respect_platform_env
+    respect_platform_env()
     ap = argparse.ArgumentParser(
         description="SIC build tool (build / build-images / download)")
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -131,6 +131,8 @@ def compress_dir(rt, clip_codec, dataset_dir, save_dir, tile_px: int = 256,
 
 
 def main(argv=None):
+    from ._common import respect_platform_env
+    respect_platform_env()
     init_func()
     parser = argparse.ArgumentParser(description="sic_tpu compress")
     parser.add_argument("--base_config", type=str, help="path to base config")

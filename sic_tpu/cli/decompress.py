@@ -71,6 +71,8 @@ def decompress_dir(rt, dataset_dir, save_dir, batch_size: int = 8):
 
 
 def main(argv=None):
+    from ._common import respect_platform_env
+    respect_platform_env()
     init_func()
     parser = argparse.ArgumentParser(description="sic_tpu decompress")
     parser.add_argument("--base_config", type=str, help="path to base config")

@@ -57,6 +57,8 @@ def evaluate_dir(rt, dataset_dir, lpips_fn=None, out=sys.stdout):
 
 
 def main(argv=None):
+    from ._common import respect_platform_env
+    respect_platform_env()
     init_func()
     ap = argparse.ArgumentParser(description="sic_tpu evaluate")
     ap.add_argument("--base_config", type=str, default=None)

@@ -40,6 +40,8 @@ def do_search(q, index: VectorIndex, topk: int = 10):
 
 
 def main(argv=None):
+    from ._common import respect_platform_env
+    respect_platform_env()
     ap = argparse.ArgumentParser(
         description="query-text / query-image / query-c2df")
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -19,7 +19,8 @@ import jax
 
 
 def main(argv=None):
-    from ._common import enable_compile_cache
+    from ._common import enable_compile_cache, respect_platform_env
+    respect_platform_env()
     enable_compile_cache()
     ap = argparse.ArgumentParser(description="sic_tpu train")
     ap.add_argument("--base_config", type=str, default=None,
@@ -173,8 +174,11 @@ def main(argv=None):
             jax.tree.map(lambda x: np.asarray(x), state), mesh, P())
 
     epoch0 = [int(state.epoch_for_strategy)]
+    # ckpt_dir on EVERY rank: orbax checkpointing is a collective in
+    # multi-process runs (all ranks enter its commit barriers; process 0
+    # writes the replicated data) -- a rank-0-only save deadlocks
     trainer = Trainer(codec, state, steps, strategy,
-                      ckpt_dir=args.ckpt_dir if rank == 0 else None,
+                      ckpt_dir=args.ckpt_dir,
                       log_fn=log_fn if rank == 0 else (lambda d: None))
 
     def train_data():
@@ -189,6 +193,14 @@ def main(argv=None):
     trainer.fit(train_data, val_data if val_ds else None, epochs=args.epochs)
     if writer is not None:
         writer.close()
+    if world > 1:
+        # align the ranks before interpreter exit: rank 0's trailing work
+        # (orbax checkpoint write, log flush) otherwise leaves the other
+        # ranks waiting at jax.distributed's SHUTDOWN barrier, whose
+        # deadline is not ours to raise (reference: dist.barrier() before
+        # teardown, compress.py:293)
+        from ..parallel.multihost import barrier
+        barrier("end_of_training")
     print(f"[OK] training done; checkpoints in {args.ckpt_dir}",
           file=sys.stderr)
 

@@ -67,7 +67,28 @@ def setup_distributed(rank: Optional[int] = None, world: Optional[int] = None,
     except TypeError:  # older jax without the kwarg
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=world, process_id=rank)
+    warmup_collectives()
     return rank, world
+
+
+def warmup_collectives() -> None:
+    """Create the cross-process collective context NOW, while the ranks
+    are still aligned in time.
+
+    Gloo's context bootstrap has a hard ~30 s key-exchange deadline and
+    runs lazily at the FIRST collective execution.  In real runs that
+    first execution sits after a multi-minute train-step compile whose
+    finish time skews arbitrarily between ranks (shared caches, shared
+    cores) — rank 0 then times out waiting for rank 1's key and the
+    whole job dies.  A trivial all-reduce right after ``initialize``
+    executes within seconds on every rank, so the context exists before
+    any expensive compile can skew the processes."""
+    import jax
+    import jax.numpy as jnp
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.process_allgather(jnp.zeros((1,), jnp.int32))
 
 
 def barrier(tag: str = "sic_tpu_barrier") -> None:

@@ -108,16 +108,21 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
 def save_checkpoint(ckpt_dir, state: TrainState, step: Optional[int] = None,
                     name: Optional[str] = None):
     import orbax.checkpoint as ocp
-    import jax as _jax
     path = Path(ckpt_dir).resolve()
     path.mkdir(parents=True, exist_ok=True)
     tag = name if name is not None else f"step_{step or int(state.global_step)}"
-    if _jax.process_count() > 1:
-        # multi-host DP keeps state fully replicated and only host 0 saves;
-        # materialize to host arrays so orbax doesn't attempt a collective
+    # Multi-process runs: EVERY rank must call this (orbax's atomic-commit
+    # protocol runs coordination-service barriers whenever
+    # jax.process_count() > 1 — a rank-0-only save deadlocks the job), and
+    # the leaves must not be jax.Arrays (the schedule scalars are
+    # host-local SingleDeviceSharding, which orbax refuses to serialize
+    # multi-host).  State is replicated, so materializing to numpy on
+    # every rank is consistent; orbax then writes from the primary and
+    # the other ranks just participate in the barriers.
+    if jax.process_count() > 1:
         import numpy as _np
-        state = _jax.tree.map(
-            lambda x: _np.asarray(x) if isinstance(x, _jax.Array) else x,
+        state = jax.tree.map(
+            lambda x: _np.asarray(x) if isinstance(x, jax.Array) else x,
             state)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / tag, state, force=True)
@@ -219,5 +224,17 @@ class Trainer:
             self.log_fn({"epoch_done": int(self.state.epoch_for_strategy) - 1,
                          "stage": stage, "epoch_s": time.time() - t0,
                          **({f"mean_{k}": v for k, v in val.items()} if val else {})})
+            self._epoch_barrier()
         if self.ckpt_dir:
             save_checkpoint(self.ckpt_dir, self.state, name="last")
+
+    def _epoch_barrier(self):
+        """Re-align the ranks each epoch in multi-process runs: only rank 0
+        writes stage checkpoints / logs, and letting the other ranks race
+        minutes ahead turns the next collective into a gloo timeout.
+        No-op single-process."""
+        import jax
+        if jax.process_count() <= 1:
+            return
+        from ..parallel.multihost import barrier
+        barrier(f"epoch_{int(self.state.epoch_for_strategy)}")

@@ -37,12 +37,21 @@ def _make_corpus(root: Path, n: int = 4):
     return img_dir
 
 
+def _subproc_env(extra_env=None):
+    """One CPU device per emulated host: strip the suite's 8-device
+    XLA_FLAGS (inherited through os.environ) so each rank models one
+    single-chip host, and force the CPU platform (the CLI re-asserts it
+    via jax.config — see cli._common.respect_platform_env)."""
+    return dict(os.environ,
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=1",
+                JAX_COMPILATION_CACHE_DIR="/tmp/sic_tpu_xla_cache",
+                JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+                **(extra_env or {}))
+
+
 def _run_compress(img_dir, save_dir, extra_env=None, extra_args=()):
-    env = dict(os.environ,
-               JAX_PLATFORMS="cpu",
-               JAX_COMPILATION_CACHE_DIR="/tmp/sic_tpu_xla_cache",
-               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
-               **(extra_env or {}))
+    env = _subproc_env(extra_env)
     return subprocess.Popen(
         [sys.executable, "-m", "sic_tpu.cli.compress",
          "--base_config", str(FIXTURE_CFG),
@@ -107,12 +116,9 @@ def test_two_process_training_runs_and_checkpoints(tmp_path):
     ck = tmp_path / "ck"
 
     def run(rank):
-        env = dict(os.environ,
-                   JAX_PLATFORMS="cpu",
-                   JAX_COMPILATION_CACHE_DIR="/tmp/sic_tpu_xla_cache",
-                   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
-                   WORLD_SIZE="2", RANK=str(rank),
-                   MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port))
+        env = _subproc_env({"WORLD_SIZE": "2", "RANK": str(rank),
+                            "MASTER_ADDR": "127.0.0.1",
+                            "MASTER_PORT": str(port)})
         return subprocess.Popen(
             [sys.executable, "-m", "sic_tpu.cli.train", "--tiny",
              "--train_dir", str(img_dir), "--train_px", "256",
