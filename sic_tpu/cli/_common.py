@@ -50,6 +50,15 @@ def enable_compile_cache():
         return
     try:
         import jax
+        # Segregate per platform: mixed-machine caches are poison — a CPU
+        # AOT entry compiled via a remote-compile service targets THAT
+        # host's ISA and can SIGILL here (observed with entries carrying
+        # +prefer-no-gather/+amx features this machine lacks).  The
+        # platform string is read from config, NOT from an initialized
+        # backend, so this never triggers a device connection.
+        plat = (getattr(jax.config, "jax_platforms", None)
+                or os.environ.get("JAX_PLATFORMS") or "default")
+        loc = os.path.join(loc, str(plat).split(",")[0].strip() or "default")
         os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
