@@ -36,6 +36,7 @@ def test_sharded_batch_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=1e-6)
 
 
+@pytest.mark.slow  # full-tier: heavy compile, coverage duplicated by faster fast-tier tests
 def test_codec_runtime_on_mesh():
     """Mesh-driven CodecRuntime produces the same bitstream semantics."""
     from sic_tpu.models import CodecRuntime, init_codec

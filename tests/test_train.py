@@ -88,6 +88,7 @@ def test_stage_schedule():
     assert STRAT.total_epochs == 3
 
 
+@pytest.mark.slow  # full-tier: heavy compile, coverage duplicated by faster fast-tier tests
 def test_uncalibrated_lpips_warns_and_msssim_mode_trains():
     """perceptual='lpips' with no VGG ckpt must warn loudly; the
     checkpoint-free 'msssim' mode must train the pix stage end to end
@@ -125,6 +126,7 @@ def test_unknown_perceptual_mode_rejected():
                                perceptual="vgg"))
 
 
+@pytest.mark.slow  # full-tier: heavy compile, coverage duplicated by faster fast-tier tests
 def test_remat_training_step():
     """save_mem path: remat'd modules train (stack_shape kept static)."""
     import dataclasses
