@@ -257,11 +257,11 @@ def encode_latency(rt, reps: int = LAT_REPS):
     can't serve cached results (same policy as decode_latency)."""
     xs = [jax.random.uniform(jax.random.PRNGKey(700 + i),
                              (1, SIZE, SIZE, 3), minval=-1.0, maxval=1.0)
-          for i in range(4)]
+          for i in range(reps + 1)]
     rt.encode_only(xs[0])             # warm (jit-cached from the batch=1 path)
     ts = []
     for i in range(reps):
-        x = xs[1 + (i % (len(xs) - 1))]
+        x = xs[1 + i]
         t0 = time.perf_counter()
         rt.encode_only(x)             # returns bytes: fully synchronous
         ts.append((time.perf_counter() - t0) * 1000.0)
@@ -314,6 +314,10 @@ def _main(argv):
     # kernel chained between the prior/recon executables — one round trip);
     # flipping the policy attribute re-times the 4-RTT host path on the
     # same compiled functions, and the two must agree exactly.
+    # the "restore" policy after host-path measurements: starts as the
+    # session policy and is DOWNGRADED to host by fallback mode or a
+    # failed on-chip cross-check, so a containment decision sticks
+    policy = rt.device_entropy
     p50, p90 = decode_latency(rt, encs)
     result["decode_p50_ms"] = round(p50, 1)
     result["decode_p90_ms"] = round(p90, 1)
@@ -328,17 +332,16 @@ def _main(argv):
     result["encode_p50_ms_hostpath"] = round(
         encode_latency(rt, reps=max(5, LAT_REPS // 2)), 1)
     enc_host = rt.encode_only(x_enc_chk)
-    rt.device_entropy = "auto"
-    if jax.devices()[0].platform == "tpu":
+    if jax.devices()[0].platform != "tpu" or policy == "host":
+        result["device_rans_encode_check"] = "skipped_device_path_off"
+    elif enc_dev["h_bit_stream"] == enc_host["h_bit_stream"]:
         # record (don't crash): a divergence must show up in the JSON,
-        # and the rest of the bench still runs on the host coder
-        if enc_dev["h_bit_stream"] == enc_host["h_bit_stream"]:
-            result["device_rans_encode_check"] = "pass"
-        else:
-            result["device_rans_encode_check"] = "FAIL"
-            rt.device_entropy = "host"
+        # and the rest of the bench then runs on the host coder
+        result["device_rans_encode_check"] = "pass"
     else:
-        result["device_rans_encode_check"] = "skipped_not_tpu"
+        result["device_rans_encode_check"] = "FAIL"
+        policy = "host"
+    rt.device_entropy = policy
     # serving path: u8 pixels converted on device (4x smaller fetch)
     p50_u8, _ = decode_latency(rt, encs[::-1], reps=max(5, LAT_REPS // 2),
                                output="u8")
@@ -348,7 +351,7 @@ def _main(argv):
     p50_h, _ = decode_latency(rt, encs, reps=max(5, LAT_REPS // 2))
     result["decode_p50_ms_hostpath"] = round(p50_h, 1)
     x_host = np.asarray(rt.decode_only(**encs[0]))
-    rt.device_entropy = "auto"
+    rt.device_entropy = policy
 
     # legacy single-substream streams (stream_part-1 encoders / reference
     # files): always take the 4-RTT host decode — keep that path visible.
@@ -379,7 +382,17 @@ def _main(argv):
         result["flops_per_image"] = int(flops)
         result["mfu_pct"] = round(100.0 * flops * img_s / peak, 2)
 
-    result.update(kernel_check())
+    if os.environ.get("SIC_BENCH_FALLBACK") or \
+            os.environ.get("SIC_WINDOW_ATTN") == "xla":
+        # the fallback run exists because a kernel may be broken — calling
+        # the kernels directly here would crash the one run that must
+        # always produce a JSON line
+        result["kernel_check"] = "skipped_fallback_mode"
+    else:
+        try:
+            result.update(kernel_check())
+        except Exception as e:  # record, don't crash (unattended runs)
+            result["kernel_check"] = f"FAIL: {type(e).__name__}: {e}"[:300]
     print("# bench: measuring search QPS", file=sys.stderr, flush=True)
     try:
         from benchmarks.search_qps import measure as _search_qps

@@ -112,6 +112,12 @@ def main():
     result["extrapolated_branch_ms"] = round(
         16 * sw + 10 * result["ms"]["convnext"]
         + 5 * result["ms"]["cross_attn"], 1)
+    result["note"] = (
+        "standalone per-block timings carry the tunnel's ~30-45 ms fixed "
+        "per-call overhead (31 calls extrapolated), so extrapolated_branch_ms "
+        "OVERSTATES the fused in-pipeline branch cost (PROFILE_r03 measures "
+        "it directly at ~491 ms) and distorts block ranking; use "
+        "kernel_marginal.py for kernel-vs-kernel comparisons")
     print(json.dumps(result, indent=1))
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=1))

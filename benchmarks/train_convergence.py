@@ -204,8 +204,12 @@ def run(steps_per_epoch: int = 24, epochs=(2, 5, 3), batch: int = 2,
             want = (1 if vbpp > spec.bpp_upper
                     else -1 if vbpp < spec.bpp_lower else 0)
             got = idx_after - idx_before
+            n_lmbda = int(np.asarray(trainer.state.lmbda_list).size)
+            at_clamp = ((want > 0 and idx_before >= n_lmbda - 1)
+                        or (want < 0 and idx_before <= 0))
             hist["controller_moves"].append(
-                {"epoch": epoch, "val_bpp": vbpp, "want": want, "got": got})
+                {"epoch": epoch, "val_bpp": vbpp, "want": want, "got": got,
+                 "at_clamp": at_clamp})
         if writer:
             writer.scalar("val/bpp", vbpp, step=epoch)
             writer.scalar("val/lmbda_idx", idx_before, step=epoch)
@@ -254,8 +258,11 @@ def run(steps_per_epoch: int = 24, epochs=(2, 5, 3), batch: int = 2,
         "feat_loss_decreased": feat_last < feat_first,
         "controller_moves": hist["controller_moves"],
         "controller_correct": all(
-            m["got"] == m["want"] or (m["want"] != 0 and m["got"] == 0)
-            for m in hist["controller_moves"]),   # 0 when clamped at an end
+            m["got"] == m["want"]
+            or (m["want"] != 0 and m["got"] == 0 and m["at_clamp"])
+            for m in hist["controller_moves"]),   # 0 ONLY when the index
+        # is genuinely clamped at the ladder end — a dead controller
+        # (never moves mid-ladder) must fail this
         "val_bpp_trajectory": [round(b, 4) for b in hist["val_bpp"]],
         "lmbda_idx_trajectory": hist["lmbda_idx"],
         "final_val_bpp": round(hist["val_bpp"][-1], 4),

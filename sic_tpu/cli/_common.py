@@ -36,6 +36,25 @@ def respect_platform_env():
         pass
 
 
+def _host_isa_tag() -> str:
+    """Short stable fingerprint of this host's CPU feature set (the
+    /proc/cpuinfo flags line on Linux; platform fields elsewhere)."""
+    import hashlib
+    import platform as _pf
+
+    txt = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    txt = line
+                    break
+    except OSError:
+        pass
+    txt = txt or f"{_pf.machine()}-{_pf.processor()}"
+    return hashlib.sha256(txt.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache():
     """Persistent XLA compile cache for every production entry point: a
     service restart or repeat CLI run skips the multi-minute flagship
@@ -58,7 +77,14 @@ def enable_compile_cache():
         # backend, so this never triggers a device connection.
         plat = (getattr(jax.config, "jax_platforms", None)
                 or os.environ.get("JAX_PLATFORMS") or "default")
-        loc = os.path.join(loc, str(plat).split(",")[0].strip() or "default")
+        plat = str(plat).split(",")[0].strip() or "default"
+        if plat == "cpu":
+            # CPU AOT entries bake the compiling host's ISA into the
+            # code, so the key needs the EXECUTING host's ISA too — the
+            # platform string alone still mixes remote-compiled and
+            # local entries
+            plat = f"cpu-{_host_isa_tag()}"
+        loc = os.path.join(loc, plat)
         os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -333,6 +333,32 @@ class BottleneckCoder:
         Bc = self.coding_batch
         return [(s, min(Bc, B - s)) for s in range(0, B, Bc)]
 
+    def _plan_chunk(self, yc, q_idx: int):
+        """One coding-batch chunk of the device encode chain: the 4-step
+        autoregressive prior walk producing the symbol/index planes and the
+        simulated reconstruction.  SHARED by the host-coder and
+        device-coder encode paths — the two must stay float-trajectory
+        identical or their streams desync (see CODING_BATCH)."""
+        p = self.params
+        y_t = self._encode_transform(p, yc, q_idx)
+        quant_step, scales, means, common, idx0 = self._prior(
+            p, tuple(y_t.shape[:3]), q_idx)
+        y_div = y_t / quant_step
+        y_hat_so_far = jnp.zeros_like(y_div)
+        planes = []
+        for step in range(4):
+            if step > 0:
+                scales, means, idx = self._spatial_step(
+                    p, step, y_hat_so_far, common)
+            else:
+                idx = idx0
+            sym_plane = self._write_plane(y_div, scales, means, step)
+            planes.append((sym_plane, idx))
+            y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
+                                                           means, step)
+        return planes, self._decode_transform(
+            p, y_hat_so_far * quant_step, q_idx)
+
     def compress_plan_chunks(self, y, q_idx: int = 0):
         """Dispatch the device-side encode chain WITHOUT any host sync,
         per CODING_BATCH chunk; returns ``[(start, real, packed_dev,
@@ -348,7 +374,6 @@ class BottleneckCoder:
         The chain runs at the coding batch (padded with zero images) so the
         float trajectory is identical to what any later decode — single
         image or batched — will recompute."""
-        p = self.params
         B = y.shape[0]
         Bc = self.coding_batch
         out = []
@@ -356,27 +381,9 @@ class BottleneckCoder:
             yc = y[start:start + real]
             if real < Bc:
                 yc = jnp.pad(yc, ((0, Bc - real),) + ((0, 0),) * (y.ndim - 1))
-            y_t = self._encode_transform(p, yc, q_idx)
-            quant_step, scales, means, common, idx0 = self._prior(
-                p, tuple(y_t.shape[:3]), q_idx)
-            y_div = y_t / quant_step
-
-            y_hat_so_far = jnp.zeros_like(y_div)
-            planes = []
-            for step in range(4):
-                if step > 0:
-                    scales, means, idx = self._spatial_step(
-                        p, step, y_hat_so_far, common)
-                else:
-                    idx = idx0
-                sym_plane = self._write_plane(y_div, scales, means, step)
-                planes.append((sym_plane, idx))
-                y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
-                                                               means, step)
-
+            planes, y_hat = self._plan_chunk(yc, q_idx)
             out.append((start, real, self._pack_planes(planes)[:, :, :real],
-                        self._decode_transform(
-                            p, y_hat_so_far * quant_step, q_idx)[:real]))
+                        y_hat[:real]))
         return out
 
     def compress_device(self, y, q_idx: int = 0, interpret: bool = False):
@@ -396,7 +403,6 @@ class BottleneckCoder:
         from ..ops.rans_encode import (finalize_streams, frame_substreams,
                                        rans_encode_plane)
 
-        p = self.params
         B = y.shape[0]
         Bc = self.coding_batch
         nparts = self.stream_part
@@ -406,24 +412,8 @@ class BottleneckCoder:
             yc = y[start:start + real]
             if real < Bc:
                 yc = jnp.pad(yc, ((0, Bc - real),) + ((0, 0),) * (y.ndim - 1))
-            y_t = self._encode_transform(p, yc, q_idx)
-            quant_step, scales, means, common, idx0 = self._prior(
-                p, tuple(y_t.shape[:3]), q_idx)
-            y_div = y_t / quant_step
-            y_hat_so_far = jnp.zeros_like(y_div)
-            planes = []
-            for step in range(4):
-                if step > 0:
-                    scales, means, idx = self._spatial_step(
-                        p, step, y_hat_so_far, common)
-                else:
-                    idx = idx0
-                sym_plane = self._write_plane(y_div, scales, means, step)
-                planes.append((sym_plane, idx))
-                y_hat_so_far = y_hat_so_far + self._recon_step(sym_plane,
-                                                               means, step)
-            per_chunk.append((real, planes, self._decode_transform(
-                p, y_hat_so_far * quant_step, q_idx)[:real]))
+            planes, y_hat = self._plan_chunk(yc, q_idx)
+            per_chunk.append((real, planes, y_hat[:real]))
 
         y_hat = (per_chunk[0][2] if len(per_chunk) == 1 else
                  jnp.concatenate([c[2] for c in per_chunk], axis=0))

@@ -38,8 +38,12 @@ def test_compile_cache_is_per_platform(tmp_path):
         "import jax\n"
         "print(jax.config.jax_compilation_cache_dir)",
         JAX_PLATFORMS="cpu", SIC_XLA_CACHE=str(tmp_path / "xc"))
-    assert out == str(tmp_path / "xc" / "cpu")
-    assert (tmp_path / "xc" / "cpu").is_dir()
+    # cpu caches carry a host-ISA fingerprint (remote-compiled CPU AOT
+    # entries target another machine's ISA and can SIGILL here)
+    from sic_tpu.cli._common import _host_isa_tag
+    sub = f"cpu-{_host_isa_tag()}"
+    assert out == str(tmp_path / "xc" / sub)
+    assert (tmp_path / "xc" / sub).is_dir()
 
 
 def test_compile_cache_off_switch(tmp_path):

@@ -129,9 +129,7 @@ def test_nhwc_bwd_kernel_rejects_partial_bias_sharing():
 
 
 def test_swin_block_output_unchanged_by_rewire():
-    """The NHWC rewiring of WindowAttention must be a pure refactor: the
-    block output equals the historical transpose pipeline bit-for-bit on
-    CPU (both route through the same einsum reference math)."""
+    """Smoke: the rewired SwinBlock runs at both shift settings."""
     from sic_tpu.models.swin import SwinBlock
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 128))
     for shifted in (False, True):
@@ -140,3 +138,50 @@ def test_swin_block_output_unchanged_by_rewire():
         out = m.apply(p, x)
         assert out.shape == x.shape
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("shifted,rel_pos", [(False, True), (True, False),
+                                             (True, True)])
+def test_window_attention_module_matches_historical_pipeline(shifted,
+                                                             rel_pos):
+    """The NHWC rewiring of WindowAttention must be a pure refactor: the
+    module output is reconstructed here through the HISTORICAL transpose
+    pipeline (roll -> qkv Dense -> window/head transposes ->
+    _forward_reference -> inverse transposes -> out Dense -> unroll),
+    using the module's own params — any layout/bias-order/roll wiring
+    change in the module shows up as a numeric mismatch."""
+    from sic_tpu.models.swin import (WindowAttention, _full_shift_mask,
+                                     _relative_index)
+
+    heads, d, ws = 2, 4, 4
+    B, H, W = 2, 8, 8
+    C = heads * d
+    s = ws * ws
+    nwh, nww = H // ws, W // ws
+    nW = nwh * nww
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, H, W, C))
+    m = WindowAttention(heads, d, ws, shifted, rel_pos, None)
+    p = m.init(jax.random.PRNGKey(1), x)
+    got = np.asarray(m.apply(p, x))
+
+    prm = p["params"]
+    xr = jnp.roll(x, (-ws // 2, -ws // 2), (1, 2)) if shifted else x
+    qkv = xr @ prm["to_qkv"]["kernel"]
+    if rel_pos:
+        idx = _relative_index(ws)
+        bias = prm["pos_embedding"][idx[:, :, 0], idx[:, :, 1]]
+    else:
+        bias = prm["pos_embedding"]
+    bias = bias.astype(jnp.float32)
+    bias = (bias[None] + jnp.asarray(_full_shift_mask(nwh, nww, ws))
+            if shifted else jnp.broadcast_to(bias[None], (nW, s, s)))
+
+    t = qkv.reshape(B, nwh, ws, nww, ws, 3, heads, d)
+    t = t.transpose(5, 0, 6, 1, 3, 2, 4, 7).reshape(3, B * heads * nW, s, d)
+    o = _forward_reference(t[0], t[1], t[2], bias, d ** -0.5)
+    o = o.reshape(B, heads, nwh, nww, ws, ws, d)
+    o = o.transpose(0, 2, 4, 3, 5, 1, 6).reshape(B, H, W, C)
+    o = o @ prm["to_out"]["kernel"] + prm["to_out"]["bias"]
+    if shifted:
+        o = jnp.roll(o, (ws // 2, ws // 2), (1, 2))
+    np.testing.assert_allclose(got, np.asarray(o), rtol=1e-6, atol=1e-6)
