@@ -86,9 +86,16 @@ def _encode_kernel(sym_ref, idx_ref, cdf_ref, sizes_ref, offs_ref,
                        axis=1, keepdims=True)
 
     def emit_byte(words, pos, ov, byte, emit):
-        """Append ``byte`` at per-lane cursor ``pos`` where ``emit``."""
+        """Append ``byte`` at per-lane cursor ``pos`` where ``emit``.
+
+        ``ov`` is uint32 (0 = fine) rather than bool: Mosaic cannot
+        legalize an i1 ``scf.for`` loop carry on real TPUs (observed:
+        "failed to legalize operation 'scf.for'" on v5e with a
+        vector<8x128xi1> block argument), so the overflow flag stays an
+        integer through the whole loop."""
         ok = pos < cap
-        ov = jnp.logical_or(ov, jnp.logical_and(emit, jnp.logical_not(ok)))
+        bad = jnp.logical_and(emit, jnp.logical_not(ok))
+        ov = jnp.where(bad, jnp.uint32(1), ov)
         do = jnp.logical_and(emit, ok)
         mask = jnp.logical_and(word_ids == (pos >> 2).astype(jnp.int32), do)
         shift = jnp.uint32(8) * (pos & 3)
@@ -105,9 +112,16 @@ def _encode_kernel(sym_ref, idx_ref, cdf_ref, sizes_ref, offs_ref,
             words, pos, ov = emit_byte(words, pos, ov, x & jnp.uint32(0xFF),
                                        emit)
             x = jnp.where(emit, x >> 8, x)
-        freq_safe = jnp.maximum(freq, jnp.uint32(1))
-        q = (x.astype(jnp.float32) /
-             freq_safe.astype(jnp.float32)).astype(jnp.uint32)
+        # select, not jnp.maximum: Mosaic has no arith.maxui on v5e
+        freq_safe = jnp.where(freq == 0, jnp.uint32(1), freq)
+        # Mosaic has no uint32<->float32 casts on real TPUs; both values
+        # are < 2**31 here (renorm bounds x < freq * 2**15 <= 2**31,
+        # freq <= 2**16, quotient < 2**15) so int32 round-trips exactly.
+        xf = jax.lax.bitcast_convert_type(x, jnp.int32).astype(jnp.float32)
+        ff = jax.lax.bitcast_convert_type(
+            freq_safe, jnp.int32).astype(jnp.float32)
+        q = jax.lax.bitcast_convert_type((xf / ff).astype(jnp.int32),
+                                         jnp.uint32)
         for _ in range(2):   # q too high: uint32 x - q*freq wrapped huge
             over = (q * freq_safe) > x
             q = jnp.where(over, q - 1, q)
@@ -195,7 +209,7 @@ def _encode_kernel(sym_ref, idx_ref, cdf_ref, sizes_ref, offs_ref,
 
     x = meta_in_ref[:, 0:1]
     pos = meta_in_ref[:, 1:2]
-    ov = meta_in_ref[:, 2:3] != 0
+    ov = meta_in_ref[:, 2:3]        # uint32 0/1 — see emit_byte
     words = words_in_ref[:, :]
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
     for c in range(npos // _CHUNK):
@@ -206,8 +220,7 @@ def _encode_kernel(sym_ref, idx_ref, cdf_ref, sizes_ref, offs_ref,
             (x, pos, words, ov))
     words_ref[:, :] = words
     meta_ref[:, :] = jnp.concatenate(
-        [x, pos, ov.astype(jnp.uint32),
-         jnp.zeros((_LANES, 1), jnp.uint32)], axis=1)
+        [x, pos, ov, jnp.zeros((_LANES, 1), jnp.uint32)], axis=1)
 
 
 def _encode_call(sym, idx, cdf, sizes, offsets, words, meta, interpret):
