@@ -1,15 +1,18 @@
-"""Marginal per-block cost of the swin window-attention implementations.
+"""Marginal per-block cost of the detail-branch building blocks.
 
 Standalone op timings through the dev tunnel carry ~30-45 ms of fixed
 per-call overhead that swamps a ~10 ms kernel, so this measures the
 MARGINAL cost: time an N1-block stack and an N2-block stack of identical
-SwinBlocks and report (t2 - t1) / (N2 - N1) per block.  Used round 2 to
+blocks and report (t2 - t1) / (N2 - N1) per block.  Used round 2 to
 pick the (G, s, d) Pallas kernel over the einsum path (9.5 vs 11.9
-ms/block); round 3 adds the NHWC-native kernel (no HBM relayouts).
+ms/block); round 3 adds the NHWC-native kernel (no HBM relayouts) and
+the ConvNeXt / interactive-cross-attention blocks so the whole detail
+branch (16 swin + 10 convnext + 5 cross per direction, PROFILE_r03) can
+be ranked block-by-block without tunnel distortion.
 
     python benchmarks/kernel_marginal.py [--batch 32] [--out FILE]
 
-Modes compared (selected via SIC_WINDOW_ATTN in-process):
+Swin modes compared (selected via SIC_WINDOW_ATTN in-process):
   pallas   the deployed NHWC fused kernel
   xla      the einsum reference pipeline
 """
@@ -64,22 +67,67 @@ def main():
                               i % 2 == 0, dt)(x)
             return x
 
+    class ConvStack(nn.Module):
+        n: int
+
+        @nn.compact
+        def __call__(self, x):
+            from sic_tpu.models.convnext import ConvNeXtBlock
+            for _ in range(self.n):
+                x = ConvNeXtBlock(FW, mlp_ratio=2.0, kernel_size=5,
+                                  dtype=dt)(x)
+            return x
+
+    TW, NT = 1024, 4
+    S_TITOK = 16 * 16 + 33
+
+    class CrossStack(nn.Module):
+        n: int
+
+        @nn.compact
+        def __call__(self, feat, tok):
+            from sic_tpu.models.cross import InteractiveCrossAttn
+            for _ in range(self.n):
+                feat, tok = InteractiveCrossAttn(
+                    TW, FW, 2, 16, 16, 33, dtype=dt)(feat, tok, (2, 2))
+            return feat, tok
+
+    def fresh_cross(seed):
+        r = np.random.default_rng(seed)
+        return (jnp.asarray(r.standard_normal((B, G, G, FW))
+                            .astype(np.float32)).astype(dt),
+                jnp.asarray(r.standard_normal((B * NT, S_TITOK, TW))
+                            .astype(np.float32)).astype(dt))
+
     result = {"batch": B, "device": dev.device_kind, "ms_per_block": {},
               "stack_ms": {}}
-    for mode in ("pallas", "xla"):
-        os.environ["SIC_WINDOW_ATTN"] = mode
+
+    def marginal(tag, make_stack, mk_inputs):
         ts = {}
         for n in (args.n1, args.n2):
-            m = Stack(n)
-            p = m.init(jax.random.PRNGKey(0), fresh(0)[0])
-            fn = jax.jit(lambda p, x, m=m: m.apply(p, x))
-            ts[n] = time_fn(fn, fresh, args.reps, static_args=(p,))
-            print(f"# {mode} stack n={n}: {1e3 * ts[n]:.2f} ms",
+            m = make_stack(n)
+            p = m.init(jax.random.PRNGKey(0), *mk_inputs(0))
+            fn = jax.jit(lambda p, *a, m=m: m.apply(p, *a))
+            ts[n] = time_fn(fn, mk_inputs, args.reps, static_args=(p,))
+            print(f"# {tag} stack n={n}: {1e3 * ts[n]:.2f} ms",
                   file=sys.stderr, flush=True)
         per = (ts[args.n2] - ts[args.n1]) / (args.n2 - args.n1)
-        result["ms_per_block"][mode] = round(1e3 * per, 2)
-        result["stack_ms"][mode] = {str(n): round(1e3 * t, 2)
-                                    for n, t in ts.items()}
+        result["ms_per_block"][tag] = round(1e3 * per, 2)
+        result["stack_ms"][tag] = {str(n): round(1e3 * t, 2)
+                                   for n, t in ts.items()}
+
+    for mode in ("pallas", "xla"):
+        os.environ["SIC_WINDOW_ATTN"] = mode
+        marginal(f"swin_{mode}", Stack, fresh)
+    os.environ["SIC_WINDOW_ATTN"] = "pallas"
+    marginal("convnext", ConvStack, fresh)
+    marginal("cross_attn", CrossStack, fresh_cross)
+
+    # detail-branch totals at the flagship block counts (one direction)
+    sw = result["ms_per_block"].get("swin_pallas", 0.0)
+    result["extrapolated_branch_ms"] = round(
+        16 * sw + 10 * result["ms_per_block"].get("convnext", 0.0)
+        + 5 * result["ms_per_block"].get("cross_attn", 0.0), 1)
     print(json.dumps(result, indent=1))
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=1))
