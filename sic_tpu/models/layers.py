@@ -37,22 +37,31 @@ class MultiheadSelfAttention(nn.Module):
         head_dim = d_model // self.num_heads
 
         qkv = nn.Dense(3 * d_model, dtype=self.dtype, name="in_proj")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):  # (B, S, D) -> (B, H, S, hd)
-            B, S, _ = t.shape
-            return t.reshape(B, S, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        if attn_mask is None:
+            # fused Pallas kernel on TPU: heads split by VMEM lane
+            # slicing, logits never in HBM (ops/seq_attention.py);
+            # plain einsum pipeline elsewhere — identical math
+            from ..ops import seq_attention
+            out = seq_attention(qkv, head_dim ** -0.5, self.num_heads)
+        else:
+            # masked path (CLIP text causal mask, S=77): XLA einsums
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        q, k, v = heads(q), heads(k), heads(v)
-        scale = head_dim ** -0.5
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                            preferred_element_type=jnp.float32)
-        if attn_mask is not None:
+            def heads(t):  # (B, S, D) -> (B, H, S, hd)
+                B, S, _ = t.shape
+                return t.reshape(B, S, self.num_heads,
+                                 head_dim).transpose(0, 2, 1, 3)
+
+            q, k, v = heads(q), heads(k), heads(v)
+            scale = head_dim ** -0.5
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                                preferred_element_type=jnp.float32)
             logits = logits + attn_mask.astype(logits.dtype)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        B, _, S, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, d_model)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+            B, _, S, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(B, S, d_model)
         return nn.Dense(d_model, dtype=self.dtype, name="out_proj")(out)
 
 

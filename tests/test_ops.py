@@ -185,3 +185,95 @@ def test_window_attention_module_matches_historical_pipeline(shifted,
     if shifted:
         o = jnp.roll(o, (ws // 2, ws // 2), (1, 2))
     np.testing.assert_allclose(got, np.asarray(o), rtol=1e-6, atol=1e-6)
+
+
+# -- fused sequence self-attention (ops/seq_attention.py) ---------------------
+
+
+def test_seq_attention_kernel_matches_reference():
+    from sic_tpu.ops.seq_attention import (_seq_attn_pallas,
+                                           _seq_attn_reference)
+    qkv = jax.random.normal(jax.random.PRNGKey(3), (4, 17, 3 * 32))
+    ref = _seq_attn_reference(qkv, 0.25, 4)
+    out = _seq_attn_pallas(qkv, 0.25, 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_seq_attention_matches_torch_style_mha():
+    """The fused path must equal the historical explicit head-transpose
+    pipeline (which itself is port-oracle-tested against torch MHA)."""
+    from sic_tpu.ops.seq_attention import _seq_attn_reference
+    B, S, C, H = 3, 11, 24, 3
+    qkv = jax.random.normal(jax.random.PRNGKey(5), (B, S, 3 * C))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = C // H
+
+    def heads(t):
+        return t.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", heads(q) * hd ** -0.5, heads(k))
+    probs = jax.nn.softmax(logits, axis=-1)
+    expect = jnp.einsum("bhqk,bhkd->bhqd", probs, heads(v))
+    expect = expect.transpose(0, 2, 1, 3).reshape(B, S, C)
+    got = _seq_attn_reference(qkv, hd ** -0.5, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_seq_attention_gradients():
+    from sic_tpu.ops.seq_attention import (_seq_attn_reference,
+                                           seq_attention)
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (2, 9, 3 * 16))
+
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(seq_attention(a, 0.25, 2))))(qkv)
+    g2 = jax.grad(
+        lambda a: jnp.sum(jnp.sin(_seq_attn_reference(a, 0.25, 2))))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mha_module_output_unchanged_by_seq_attention_rewire():
+    """MultiheadSelfAttention (now routed through seq_attention off-TPU's
+    reference path) must produce the same output as the historical inline
+    einsum implementation, masked and unmasked."""
+    import flax.linen as nn
+
+    from sic_tpu.models.layers import MultiheadSelfAttention
+
+    class Historical(nn.Module):
+        num_heads: int
+
+        @nn.compact
+        def __call__(self, x, attn_mask=None):
+            d_model = x.shape[-1]
+            head_dim = d_model // self.num_heads
+            qkv = nn.Dense(3 * d_model, name="in_proj")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads(t):
+                B, S, _ = t.shape
+                return t.reshape(B, S, self.num_heads,
+                                 head_dim).transpose(0, 2, 1, 3)
+
+            q, k, v = heads(q), heads(k), heads(v)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q * head_dim ** -0.5, k,
+                                preferred_element_type=jnp.float32)
+            if attn_mask is not None:
+                logits = logits + attn_mask.astype(logits.dtype)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+            B, _, S, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(B, S, d_model)
+            return nn.Dense(d_model, name="out_proj")(out)
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 13, 32))
+    mask = jnp.triu(jnp.full((13, 13), -jnp.inf), k=1)
+    new = MultiheadSelfAttention(num_heads=4)
+    old = Historical(num_heads=4)
+    p = new.init(jax.random.PRNGKey(0), x)
+    for m in (None, mask):
+        a = new.apply(p, x, m)
+        b = old.apply(p, x, m)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
