@@ -305,16 +305,18 @@ class CodecRuntime:
         if self.mesh is not None:
             from ..parallel import shard_batch
             x01 = shard_batch(x01, self.mesh)
-        # single-image latency path: entropy-code the h stream ON DEVICE
-        # (ops/rans_encode.py) so the host boundary carries the finished
-        # words (~8x smaller than the packed planes) instead of every
-        # symbol.  Batched encodes keep host coding: there the fetch +
-        # rANS already overlap the next chunk's device compute, while
-        # device coding would ADD device time on the critical path.
-        use_dev_enc = (B == 1 and self.device_entropy != "host"
-                       and self.mesh is None
-                       and (self.device_entropy == "device"
-                            or jax.default_backend() == "tpu"))
+        # Device entropy ENCODE is opt-in ("device"), not the "auto"
+        # default, unlike decode.  The asymmetry is measured, not
+        # aesthetic (BENCH r3, one v5e via tunnel): host-path decode
+        # needs 4 SERIAL round trips (one per autoregressive plane), so
+        # the on-device decode kernel wins (112 vs 247 ms p50) — but
+        # host-path encode ships all packed planes in ONE fetch, so at
+        # stream_part=4 the encode kernel's sequential walk costs more
+        # than the fetch it saves (189 vs 66 ms p50).  The kernel stays
+        # byte-exact-validated every bench run for the geometries where
+        # it does pay (more substreams, slow/absent hosts).
+        use_dev_enc = (B == 1 and self.device_entropy == "device"
+                       and self.mesh is None)
         if use_dev_enc:
             with timed_stage(timer, "encode_device"):
                 z_indices, h, _ = self._encode(self.params, x01)
