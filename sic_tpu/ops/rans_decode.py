@@ -24,10 +24,22 @@ TPU mapping: rANS is inherently serial per stream, so parallelism comes
 from B images x ``stream_part`` substreams.  Each kernel program decodes
 **8 substreams in lockstep** — one per sublane — with every per-stream
 scalar held as an (8, 1) vector; data-dependent branches (skip, escape,
-refill) are per-lane ``where`` masks, the CDF row gather is an exact
-one-hot f32 matmul on the MXU (CDF values < 2^24), and stream-byte reads
-are masked reductions over the VMEM-resident word buffer.  No gathers, no
-dynamic slices.  All arithmetic is uint32/int32 — the result is exact.
+refill) are per-lane ``where`` masks and stream-byte reads are masked
+reductions over the VMEM-resident word buffer.
+
+The walk is two-phase so the serial loop issues only cheap VPU work
+(benchmarks/rans_kernel_ablation.py measured the original per-step one-hot
+MXU matmuls at ~20 us/position — the entire kernel cost):
+
+1. per 128-position chunk, ONE batched one-hot matmul gathers every
+   position's CDF row, row length and symbol offset into a
+   (128, 8, 128)-int32 VMEM scratch (position-major, one packed 128-lane
+   row per position/lane: CDF values < 2^16 split into bf16-exact byte
+   halves, length at lane ``_SIZE_COL``, biased offset at ``_OFF_COL``);
+2. the serial fori_loop dynamic-indexes the scratch by position — no
+   matmuls, no O(ncdf) masked gathers inside the loop.
+
+All arithmetic is uint32/int32 — the result is exact.
 """
 from __future__ import annotations
 
@@ -48,6 +60,8 @@ _BYPASS_BITS = 2
 _BYPASS_MAX = (1 << _BYPASS_BITS) - 1
 _LANES = 8    # substreams decoded in lockstep per kernel program
 _CHUNK = 128  # positions walked per statically-addressed plane chunk
+_SIZE_COL = 126  # packed-row lane holding the CDF row length (0 = skip)
+_OFF_COL = 127   # packed-row lane holding the +32768-biased symbol offset
 
 
 # -- host-side stream framing -------------------------------------------------
@@ -122,28 +136,41 @@ def pack_substreams(parts: Sequence[bytes], word_bucket: int = 512):
 
 # -- kernel -------------------------------------------------------------------
 
-def _decode_kernel(idx_ref, words_ref, len_ref, state_in_ref, cdf_ref,
-                   sizes_ref, offs_ref, sym_ref, state_out_ref):
-    npos = idx_ref.shape[1]
+def _decode_kernel(idx_cm_ref, words_ref, len_ref, state_in_ref, cdf_ref,
+                   sizes_ref, offs_ref, sym_ref, state_out_ref, rows_ref):
+    npos = sym_ref.shape[1]
     nwords = words_ref.shape[1]
     ncdf, width = cdf_ref.shape
 
     # Mosaic has no unsigned reductions: hold the words as int32 bits and
     # bitcast the selected word back to uint32.
     words_i32 = jax.lax.bitcast_convert_type(words_ref[:, :], jnp.int32)
-    # The CDF row gather is a one-hot MXU matmul.  TPU matmuls truncate f32
-    # inputs to bf16 passes, which cannot represent 16-bit CDF values, so
-    # split into two byte halves — both bf16-exact — and recombine.
+    # Packed gather table for the chunk-level one-hot matmul.  TPU matmuls
+    # truncate f32 inputs to bf16 passes, which cannot represent 16-bit
+    # values, so every table entry is split into two byte halves — both
+    # bf16-exact — and recombined after the matmul.  Output lane layout per
+    # CDF row: lanes [0, width) the quantized CDF, _SIZE_COL the row length
+    # (low half only, length <= width < 256), _OFF_COL the symbol offset
+    # biased by +32768 into 0..65535.  A position whose index is < 0 (or
+    # out of range) matches no one-hot row and decodes as all-zero —
+    # length 0 — which IS the skip marker.
+    col128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     cdf_i32 = cdf_ref[:, :]
-    cdf_hi = (cdf_i32 >> 8).astype(jnp.float32)        # values <= 256
-    cdf_lo = (cdf_i32 & 0xFF).astype(jnp.float32)      # values <  256
-    sizes_row = sizes_ref[0, :].reshape(1, ncdf)
-    offs_row = offs_ref[0, :].reshape(1, ncdf)
+    pad = jnp.zeros((ncdf, 128 - width), jnp.int32)
+    tbl_hi = jnp.concatenate([cdf_i32 >> 8, pad], axis=1)
+    tbl_lo = jnp.concatenate([cdf_i32 & 0xFF, pad], axis=1)
+    offs_b = offs_ref[0, :].reshape(ncdf, 1) + 32768   # 0..65535
+    sizes_col = sizes_ref[0, :].reshape(ncdf, 1)
+    tbl_hi = jnp.where(col128 == _OFF_COL, offs_b >> 8, tbl_hi)
+    tbl_lo = jnp.where(col128 == _OFF_COL, offs_b & 0xFF, tbl_lo)
+    tbl_lo = jnp.where(col128 == _SIZE_COL, sizes_col, tbl_lo)
+    tbl = jnp.concatenate([tbl_hi, tbl_lo], axis=1).astype(jnp.float32)
     lengths = len_ref[:, :]                            # (8, 1) int32
 
     word_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nwords), 1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
-    cdf_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ncdf), 1)
+    col_ids = col128                                   # scans: width <= 126
+    cdf_ids_f = jax.lax.broadcasted_iota(
+        jnp.int32, (_CHUNK * _LANES, ncdf), 1)
     zero8 = jnp.zeros((_LANES, 1), jnp.uint32)
 
     def sel(mask, values):
@@ -181,28 +208,23 @@ def _decode_kernel(idx_ref, words_ref, len_ref, state_in_ref, cdf_ref,
         x, pos = refill_once(x >> _BYPASS_BITS, pos)
         return val, x, pos
 
-    def make_body(idx_chunk, lane_ids):
+    def make_body(lane_ids):
       def body(j, carry):
         x, pos, out_chunk = carry
         at_j = lane_ids == j                           # (1, 128)
-        cdf_idx = sel(jnp.broadcast_to(at_j, idx_chunk.shape), idx_chunk)
-        skip = cdf_idx < 0
-        safe_idx = jnp.maximum(cdf_idx, 0)
-
-        onehot = (cdf_ids == safe_idx).astype(jnp.float32)   # (8, ncdf)
-        dims = (((1,), (0,)), ((), ()))
-        row_hi = jax.lax.dot_general(onehot, cdf_hi, dims,
-                                     preferred_element_type=jnp.float32)
-        row_lo = jax.lax.dot_general(onehot, cdf_lo, dims,
-                                     preferred_element_type=jnp.float32)
-        row = (row_hi.astype(jnp.int32) << 8) | row_lo.astype(jnp.int32)
-        size = sel(cdf_ids == safe_idx, sizes_row)
-        offset = sel(cdf_ids == safe_idx, offs_row)
+        # the packed row for position j: CDF values in lanes [0, width),
+        # row length at _SIZE_COL, biased offset at _OFF_COL — ONE dynamic
+        # leading-dim load; no matmul, no O(ncdf) gather in the hot loop
+        row = rows_ref[j]                              # (8, 128)
+        size = row[:, _SIZE_COL:_SIZE_COL + 1]
+        offset = row[:, _OFF_COL:_OFF_COL + 1] - 32768
+        skip = size == 0
         max_value = size - 2
 
         cum = (x & _MASK16).astype(jnp.int32)          # (8, 1)
         # s = #{k in [1, size-1] : cdf[k] <= cum}  (linear scan at
-        # sic_rans.cc:177-179, vectorized per lane)
+        # sic_rans.cc:177-179, vectorized per lane; the size/offset tail
+        # lanes are excluded because size - 1 <= width - 1 < _SIZE_COL)
         in_range = jnp.logical_and(col_ids >= 1, col_ids <= size - 1)
         s = jnp.sum(jnp.logical_and(in_range, row <= cum).astype(jnp.int32),
                     axis=1, keepdims=True)             # (8, 1)
@@ -259,17 +281,28 @@ def _decode_kernel(idx_ref, words_ref, len_ref, state_in_ref, cdf_ref,
         return x_new, pos_new, out_chunk
       return body
 
-    # Mosaic only allows statically 128-aligned dynamic indexing on the
-    # minor dim, so walk the plane in static 128-position chunks; inside a
-    # chunk, reads/writes are cheap (8, 128) one-hot ops.
+    # Walk the plane in static 128-position chunks.  Per chunk: one
+    # position-major one-hot matmul gathers every position's packed row
+    # into the VMEM scratch, then the serial loop runs on scratch loads
+    # plus (8, 1)/(8, 128) vector ops only.
     x = state_in_ref[:, 0:1]
     pos = state_in_ref[:, 1:2]
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
+    dims = (((1,), (0,)), ((), ()))
     for c in range(npos // _CHUNK):
-        idx_chunk = idx_ref[:, c * _CHUNK:(c + 1) * _CHUNK]
+        # chunk c's indexes, position-major, as ONE static lane-column
+        # slice — Mosaic cannot shape-cast (8, 128) -> (1024, 1), so the
+        # host hands the plane pre-laid-out as (CHUNK*LANES, nchunks)
+        idx_t = idx_cm_ref[:, c:c + 1]                     # (1024, 1)
+        onehot = (cdf_ids_f == idx_t).astype(jnp.float32)  # idx<0: zero row
+        big = jax.lax.dot_general(onehot, tbl, dims,
+                                  preferred_element_type=jnp.float32)
+        comb = ((big[:, :128].astype(jnp.int32) << 8)
+                | big[:, 128:].astype(jnp.int32))
+        rows_ref[:, :, :] = comb.reshape(_CHUNK, _LANES, 128)
         out0 = jnp.zeros((_LANES, _CHUNK), jnp.int32)
         x, pos, out_chunk = jax.lax.fori_loop(
-            0, _CHUNK, make_body(idx_chunk, lane_ids), (x, pos, out0))
+            0, _CHUNK, make_body(lane_ids), (x, pos, out0))
         sym_ref[:, c * _CHUNK:(c + 1) * _CHUNK] = out_chunk
     state_out_ref[:, :] = jnp.concatenate([x, pos], axis=1)
 
@@ -294,6 +327,9 @@ def rans_decode_plane(idx, words, lengths, state, cdf, sizes, offsets,
     """
     S, npos_in = idx.shape
     assert S % _LANES == 0, f"S={S} must be a multiple of {_LANES}"
+    assert cdf.shape[1] <= _SIZE_COL, (
+        f"CDF width {cdf.shape[1]} exceeds the packed-row layout "
+        f"({_SIZE_COL} value lanes); use the host decoder")
     # pad the plane to the kernel's 128-position chunking with skipped
     # (idx = -1) columns; they consume no stream bytes
     npos = -(-npos_in // _CHUNK) * _CHUNK
@@ -306,14 +342,26 @@ def rans_decode_plane(idx, words, lengths, state, cdf, sizes, offsets,
     return out[:, :npos_in], new_state
 
 
+def chunk_colmajor(x):
+    """(S, npos) plane -> (S//8 * CHUNK*LANES, nchunks) position-major
+    chunk columns: ``M[g*1024 + p*8 + l, c] = x[g*8 + l, c*128 + p]``.
+    Laid out on host/XLA because Mosaic cannot transpose in-kernel; the
+    kernel then reads chunk ``c`` as one static lane-column slice."""
+    S, npos = x.shape
+    G, nchunks = S // _LANES, npos // _CHUNK
+    x4 = x.reshape(G, _LANES, nchunks, _CHUNK).transpose(0, 3, 1, 2)
+    return x4.reshape(G * _CHUNK * _LANES, nchunks)
+
+
 def _decode_call(idx, words, lengths, state, cdf, sizes, offsets, interpret):
     S, npos = idx.shape
     ncdf, width = cdf.shape
+    nchunks = npos // _CHUNK
     return pl.pallas_call(
         _decode_kernel,
         grid=(S // _LANES,),
         in_specs=[
-            pl.BlockSpec((_LANES, npos), lambda i: (i, 0)),
+            pl.BlockSpec((_CHUNK * _LANES, nchunks), lambda i: (i, 0)),
             pl.BlockSpec((_LANES, words.shape[1]), lambda i: (i, 0)),
             pl.BlockSpec((_LANES, 1), lambda i: (i, 0)),
             pl.BlockSpec((_LANES, 2), lambda i: (i, 0)),
@@ -329,7 +377,9 @@ def _decode_call(idx, words, lengths, state, cdf, sizes, offsets, interpret):
             jax.ShapeDtypeStruct((S, npos), jnp.int32),
             jax.ShapeDtypeStruct((S, 2), jnp.uint32),
         ],
+        scratch_shapes=[pltpu.VMEM((_CHUNK, _LANES, 128), jnp.int32)],
         interpret=interpret,
-    )(idx.astype(jnp.int32), words, lengths.astype(jnp.int32), state,
+    )(chunk_colmajor(idx.astype(jnp.int32)), words,
+      lengths.astype(jnp.int32), state,
       cdf.astype(jnp.int32), sizes.reshape(1, -1).astype(jnp.int32),
       offsets.reshape(1, -1).astype(jnp.int32))

@@ -28,13 +28,26 @@ coder, reference: src/cpp/rans/rans.cpp:29-99):
   (sic_rans.cc:111-133); the cheap byte reversal happens on host.
 
 TPU mapping: identical to the decoder — 8 substreams in lockstep per
-program, one scalar per sublane, one-hot MXU matmuls for the CDF row
-gather, masked (8, nwords) OR-writes for byte emission.  The one
-operation rANS encode needs that decode does not is an exact 31-bit /
-16-bit integer division; at the division point renormalisation guarantees
-``x < freq * 2**15`` so the quotient fits 15 bits, and a float32
-reciprocal estimate corrected by exact uint32 multiply-compare steps (at
-most 2 each way) reproduces the integer division exactly.
+program, one scalar per sublane, masked (8, nwords) OR-writes for byte
+emission.  Unlike decode, EVERYTHING the encoder needs per position —
+(start, freq) from the CDF row, the escape flag, the bypass value and its
+chunk count — depends only on the symbols and indexes, never on the rANS
+state, so it is all precomputed per 128-position chunk with one batched
+one-hot MXU matmul + vector ops into a (128, 8, 128)-int32 VMEM scratch
+(benchmarks/rans_kernel_ablation.py measured in-loop one-hot matmuls at
+~20 us/position — the entire kernel cost).  The serial loop is only
+renormalisation byte emission plus the one operation rANS encode needs
+that decode does not: an exact 31-bit / 16-bit integer division; at the
+division point renormalisation guarantees ``x < freq * 2**15`` so the
+quotient fits 15 bits, and a float32 reciprocal estimate corrected by
+exact uint32 multiply-compare steps (at most 2 each way) reproduces the
+integer division exactly.
+
+Escape entries are bounded by 8 bypass chunks (16 bits): the encode chain
+clamps symbols to +-30000 at the host boundary (models/bottleneck.py) and
+table offsets are tiny, so ``raw_val`` < 2^16 always; if a wider value
+ever appears the kernel raises the overflow flag and the caller falls
+back to the host coder, exactly like a buffer overflow.
 """
 from __future__ import annotations
 
@@ -54,36 +67,44 @@ _BYPASS_BITS = 2
 _BYPASS_MAX = (1 << _BYPASS_BITS) - 1
 _LANES = 8    # substreams encoded in lockstep per kernel program
 _CHUNK = 128  # positions walked per statically-addressed plane chunk
-_MAX_CHUNKS = 16   # bypass chunk entries walked (decoder reads <= 16)
-_MAX_COUNT = 5     # saturating count entries beyond the remainder entry
+_MAX_CHUNKS = 8    # bypass chunks: raw_val < 2^16 (see module docstring)
+_MAX_COUNT = 2     # saturating count entries: n_bypass <= 8 -> nsat <= 2
+_SIZE_COL = 126    # packed-row lane holding the CDF row length (0 = skip)
+_OFF_COL = 127     # packed-row lane holding the +32768-biased offset
 
 
-def _encode_kernel(sym_ref, idx_ref, cdf_ref, sizes_ref, offs_ref,
+def _encode_kernel(sym_cm_ref, idx_cm_ref, cdf_ref, sizes_ref, offs_ref,
                    words_in_ref, meta_in_ref,
-                   words_ref, meta_ref):
+                   words_ref, meta_ref, sc_ref):
     """Encode one (pre-reversed) plane for 8 lockstep substreams.
 
+    ``sym_cm``/``idx_cm`` arrive in the position-major chunk-column layout
+    of ``rans_decode.chunk_colmajor`` (Mosaic cannot transpose in-kernel).
     meta rows are (8, 4) uint32: [x, byte cursor, overflow flag, 0].
     """
-    npos = sym_ref.shape[1]
+    npos = idx_cm_ref.shape[1] * _CHUNK
     nwords = words_in_ref.shape[1]
     ncdf, width = cdf_ref.shape
     cap = jnp.uint32(nwords * 4)
 
+    # Packed gather table, identical layout to the decoder's: one one-hot
+    # matmul per chunk fetches each position's CDF row + length + biased
+    # offset (byte-split halves are bf16-exact; see rans_decode.py).
+    col128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     cdf_i32 = cdf_ref[:, :]
-    cdf_hi = (cdf_i32 >> 8).astype(jnp.float32)        # values <= 256
-    cdf_lo = (cdf_i32 & 0xFF).astype(jnp.float32)      # values <  256
-    sizes_row = sizes_ref[0, :].reshape(1, ncdf)
-    offs_row = offs_ref[0, :].reshape(1, ncdf)
+    pad = jnp.zeros((ncdf, 128 - width), jnp.int32)
+    tbl_hi = jnp.concatenate([cdf_i32 >> 8, pad], axis=1)
+    tbl_lo = jnp.concatenate([cdf_i32 & 0xFF, pad], axis=1)
+    offs_b = offs_ref[0, :].reshape(ncdf, 1) + 32768   # 0..65535
+    sizes_col = sizes_ref[0, :].reshape(ncdf, 1)
+    tbl_hi = jnp.where(col128 == _OFF_COL, offs_b >> 8, tbl_hi)
+    tbl_lo = jnp.where(col128 == _OFF_COL, offs_b & 0xFF, tbl_lo)
+    tbl_lo = jnp.where(col128 == _SIZE_COL, sizes_col, tbl_lo)
+    tbl = jnp.concatenate([tbl_hi, tbl_lo], axis=1).astype(jnp.float32)
 
     word_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nwords), 1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
-    cdf_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ncdf), 1)
-
-    def sel(mask, values):
-        """Per-lane masked reduce: (8, N) mask x (8|1, N) values -> (8, 1)."""
-        return jnp.sum(jnp.where(mask, values, jnp.zeros_like(values)),
-                       axis=1, keepdims=True)
+    cdf_ids_f = jax.lax.broadcasted_iota(
+        jnp.int32, (_CHUNK * _LANES, ncdf), 1)
 
     def emit_byte(words, pos, ov, byte, emit):
         """Append ``byte`` at per-lane cursor ``pos`` where ``emit``.
@@ -141,53 +162,36 @@ def _encode_kernel(sym_ref, idx_ref, cdf_ref, sizes_ref, offs_ref,
         x_new = (x << _BYPASS_BITS) | val
         return jnp.where(active, x_new, x), words, pos, ov
 
-    def make_body(sym_chunk, idx_chunk, lane_ids):
-      def body(j, carry):
+    def u32(v):
+        """int32 -> uint32 bitcast (Mosaic has no unsigned casts; every
+        packed value is < 2**31 so the bitcast is exact)."""
+        return jax.lax.bitcast_convert_type(v, jnp.uint32)
+
+    def body(j, carry):
         x, pos, words, ov = carry
-        at_j = lane_ids == j                           # (1, 128)
-        at8 = jnp.broadcast_to(at_j, idx_chunk.shape)
-        cdf_idx = sel(at8, idx_chunk)                  # (8, 1)
-        symbol = sel(at8, sym_chunk)
-        active = cdf_idx >= 0
-        safe_idx = jnp.maximum(cdf_idx, 0)
-
-        onehot = (cdf_ids == safe_idx).astype(jnp.float32)   # (8, ncdf)
-        dims = (((1,), (0,)), ((), ()))
-        row_hi = jax.lax.dot_general(onehot, cdf_hi, dims,
-                                     preferred_element_type=jnp.float32)
-        row_lo = jax.lax.dot_general(onehot, cdf_lo, dims,
-                                     preferred_element_type=jnp.float32)
-        row = (row_hi.astype(jnp.int32) << 8) | row_lo.astype(jnp.int32)
-        size = sel(cdf_ids == safe_idx, sizes_row)
-        offset = sel(cdf_ids == safe_idx, offs_row)
-        max_value = size - 2
-
-        value = symbol - offset
-        neg = value < 0
-        big = jnp.logical_and(jnp.logical_not(neg), value >= max_value)
-        raw_val = jnp.where(
-            neg, -2 * value - 1,
-            jnp.where(big, 2 * (value - max_value), 0)).astype(jnp.uint32)
-        esc = jnp.logical_and(active, jnp.logical_or(neg, big))
-        slot = jnp.where(jnp.logical_or(neg, big), max_value, value)
+        # the packed row for position j — ONE dynamic leading-dim load;
+        # no matmul, no O(ncdf) gather in the hot loop
+        row = sc_ref[j]                                # (8, 128) int32
+        start = u32(row[:, 0:1])
+        freq = u32(row[:, 1:2])
+        esc = row[:, 2:3] != 0
+        raw_val = u32(row[:, 3:4])
+        n_bypass = row[:, 4:5]
+        rem = u32(row[:, 5:6])
+        nsat = row[:, 6:7]
+        active = row[:, 7:8] != 0
+        ov = jnp.where(row[:, 8:9] != 0, jnp.uint32(1), ov)   # wide escape
 
         # escape entries come FIRST in reverse order (sic_rans.cc:92-108
         # walked backwards): chunks high-to-low, then the remainder count
         # entry, then the saturating kBypassMax count entries.
         def esc_branch(args):
             x, pos, words, ov = args
-            chunk_ids = jax.lax.broadcasted_iota(
-                jnp.uint32, (1, _MAX_CHUNKS), 1)
-            shifts = raw_val >> (jnp.uint32(_BYPASS_BITS) * chunk_ids)
-            n_bypass = jnp.sum((shifts != 0).astype(jnp.int32), axis=1,
-                               keepdims=True)          # (8, 1)
             for j2 in range(_MAX_CHUNKS - 1, -1, -1):
                 go = jnp.logical_and(esc, j2 < n_bypass)
                 chunk = (raw_val >> jnp.uint32(_BYPASS_BITS * j2)) \
                     & jnp.uint32(_BYPASS_MAX)
                 x, words, pos, ov = put_raw2(x, words, pos, ov, chunk, go)
-            rem = (n_bypass % _BYPASS_MAX).astype(jnp.uint32)
-            nsat = n_bypass // _BYPASS_MAX
             x, words, pos, ov = put_raw2(x, words, pos, ov, rem, esc)
             for t in range(_MAX_COUNT):
                 go = jnp.logical_and(esc, t < nsat)
@@ -198,42 +202,89 @@ def _encode_kernel(sym_ref, idx_ref, cdf_ref, sizes_ref, offs_ref,
         x, pos, words, ov = jax.lax.cond(
             jnp.any(esc), esc_branch, lambda a: a, (x, pos, words, ov))
 
-        start = sel(col_ids == slot, row).astype(jnp.uint32) \
-            & jnp.uint32(0xFFFF)
-        nxt = sel(col_ids == slot + 1, row).astype(jnp.uint32)
-        freq = (nxt - start) & jnp.uint32(0xFFFF)   # uint16 wrap as the C++
         x, words, pos, ov = put_symbol(x, words, pos, ov, start, freq,
                                        active)
         return x, pos, words, ov
-      return body
 
     x = meta_in_ref[:, 0:1]
     pos = meta_in_ref[:, 1:2]
     ov = meta_in_ref[:, 2:3]        # uint32 0/1 — see emit_byte
     words = words_in_ref[:, :]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
+    col128b = col128                # (1, 128), broadcasts over positions
+    dims = (((1,), (0,)), ((), ()))
+    chunk_ids = jax.lax.broadcasted_iota(
+        jnp.uint32, (1, _MAX_CHUNKS), 1)
     for c in range(npos // _CHUNK):
-        sym_chunk = sym_ref[:, c * _CHUNK:(c + 1) * _CHUNK]
-        idx_chunk = idx_ref[:, c * _CHUNK:(c + 1) * _CHUNK]
+        # Phase 1 — batched per-chunk precompute (position-major rows).
+        # Everything state-independent: the one-hot MXU gather of each
+        # position's CDF row, the slot/escape split, (start, freq), the
+        # bypass chunk count and its remainder/saturation decomposition.
+        sym_t = sym_cm_ref[:, c:c + 1]                     # (1024, 1)
+        idx_t = idx_cm_ref[:, c:c + 1]
+        onehot = (cdf_ids_f == idx_t).astype(jnp.float32)  # idx<0: zero row
+        big = jax.lax.dot_general(onehot, tbl, dims,
+                                  preferred_element_type=jnp.float32)
+        comb = ((big[:, :128].astype(jnp.int32) << 8)
+                | big[:, 128:].astype(jnp.int32))          # (N, 128)
+        size = comb[:, _SIZE_COL:_SIZE_COL + 1]
+        offset = comb[:, _OFF_COL:_OFF_COL + 1] - 32768
+        active = size != 0                                 # (N, 1)
+        max_value = size - 2
+        value = sym_t - offset
+        neg = value < 0
+        over = jnp.logical_and(jnp.logical_not(neg), value >= max_value)
+        raw_val = jnp.where(
+            neg, -2 * value - 1,
+            jnp.where(over, 2 * (value - max_value), 0))   # int32 >= 0
+        esc = jnp.logical_and(active, jnp.logical_or(neg, over))
+        slot = jnp.where(jnp.logical_or(neg, over), max_value, value)
+        slot = jnp.where(active, slot, 0)
+        in_slot = col128b == slot
+        start = jnp.sum(jnp.where(in_slot, comb, 0), axis=1, keepdims=True)
+        nxt = jnp.sum(jnp.where(col128b == slot + 1, comb, 0),
+                      axis=1, keepdims=True)
+        freq = (nxt - start) & 0xFFFF       # uint16 wrap as the C++
+        start = start & 0xFFFF
+        shifts = u32(raw_val) >> (jnp.uint32(_BYPASS_BITS) * chunk_ids)
+        n_bypass = jnp.sum((shifts != 0).astype(jnp.int32), axis=1,
+                           keepdims=True)                  # (N, 1)
+        # n_bypass <= _MAX_CHUNKS so divmod by kBypassMax=3 is two compares
+        nsat = (n_bypass >= _BYPASS_MAX).astype(jnp.int32) \
+            + (n_bypass >= 2 * _BYPASS_MAX).astype(jnp.int32)
+        rem = n_bypass - _BYPASS_MAX * nsat
+        wide = jnp.logical_and(esc, raw_val >= (1 << (2 * _MAX_CHUNKS)))
+        packed = jnp.where(col128b == 0, start, 0)
+        packed = jnp.where(col128b == 1, freq, packed)
+        packed = jnp.where(col128b == 2, esc.astype(jnp.int32), packed)
+        packed = jnp.where(col128b == 3, raw_val, packed)
+        packed = jnp.where(col128b == 4, n_bypass, packed)
+        packed = jnp.where(col128b == 5, rem, packed)
+        packed = jnp.where(col128b == 6, nsat, packed)
+        packed = jnp.where(col128b == 7, active.astype(jnp.int32), packed)
+        packed = jnp.where(col128b == 8, wide.astype(jnp.int32), packed)
+        sc_ref[:, :, :] = packed.reshape(_CHUNK, _LANES, 128)
+        # Phase 2 — the serial walk: scratch loads + (8, 1)/(8, nwords)
+        # vector ops only.
         x, pos, words, ov = jax.lax.fori_loop(
-            0, _CHUNK, make_body(sym_chunk, idx_chunk, lane_ids),
-            (x, pos, words, ov))
+            0, _CHUNK, body, (x, pos, words, ov))
     words_ref[:, :] = words
     meta_ref[:, :] = jnp.concatenate(
         [x, pos, ov, jnp.zeros((_LANES, 1), jnp.uint32)], axis=1)
 
 
 def _encode_call(sym, idx, cdf, sizes, offsets, words, meta, interpret):
+    from sic_tpu.ops.rans_decode import chunk_colmajor
     S, npos = sym.shape
     ncdf, width = cdf.shape
     nwords = words.shape[1]
+    nchunks = npos // _CHUNK
     row = lambda i: (i, 0)
     return pl.pallas_call(
         _encode_kernel,
         grid=(S // _LANES,),
         in_specs=[
-            pl.BlockSpec((_LANES, npos), row),
-            pl.BlockSpec((_LANES, npos), row),
+            pl.BlockSpec((_CHUNK * _LANES, nchunks), row),
+            pl.BlockSpec((_CHUNK * _LANES, nchunks), row),
             pl.BlockSpec((ncdf, width), lambda i: (0, 0)),
             pl.BlockSpec((1, ncdf), lambda i: (0, 0)),
             pl.BlockSpec((1, ncdf), lambda i: (0, 0)),
@@ -248,9 +299,11 @@ def _encode_call(sym, idx, cdf, sizes, offsets, words, meta, interpret):
             jax.ShapeDtypeStruct((S, nwords), jnp.uint32),
             jax.ShapeDtypeStruct((S, 4), jnp.uint32),
         ],
+        scratch_shapes=[pltpu.VMEM((_CHUNK, _LANES, 128), jnp.int32)],
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-    )(sym, idx, cdf, sizes, offsets, words, meta)
+    )(chunk_colmajor(sym), chunk_colmajor(idx), cdf, sizes, offsets,
+      words, meta)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
