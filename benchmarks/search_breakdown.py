@@ -10,6 +10,13 @@ materialization fences) so the right fix is knowable:
 - top_k-bound   -> exact two-stage top-k (grouped iterated max + merge)
 - matmul-bound  -> nothing to do; bf16 MXU is the floor
 
+MEASURED (v5e via tunnel, 2026-08-18): upload-only 66.7 ms, +matmul
+~14 ms, +lax.top_k 81.0 ms, two-stage top-k 87.6 ms.  Conclusion: the
+wave is upload/RTT-bound; lax.top_k already beats the hand-rolled
+two-stage, so the fix is a bigger serving wave (1024 queries -> 9.1k
+QPS, 4096 -> 14.0k), not a top-k kernel.  bench.py reports the
+1024-wave number as search_qps_100k.
+
     python benchmarks/search_breakdown.py [--n 100000] [--batch 256]
 """
 from __future__ import annotations
@@ -108,10 +115,19 @@ def main():
         for t in (x if isinstance(x, tuple) else (x,)):
             np.asarray(t)
 
+    @jax.jit
+    def _scores_reduced(q):
+        # fence on a (B, 8) slice-of-max reduction: fetching the full
+        # (B, N) scores would ship ~100 MB back through the tunnel and
+        # measure the download, not the matmul (observed: 11.7 s)
+        s = _scores(q)
+        return jnp.max(s.reshape(q.shape[0], 8, -1), axis=2)
+
     out["upload_ms"] = timed(
         lambda i: _fence(jnp.asarray(fresh(i)) + 0.0), "upload only")
     out["upload_matmul_ms"] = timed(
-        lambda i: _fence(_scores(jnp.asarray(fresh(i)))), "upload+matmul")
+        lambda i: _fence(_scores_reduced(jnp.asarray(fresh(i)))),
+        "upload+matmul")
     out["upload_matmul_topk_ms"] = timed(
         lambda i: _fence(_scores_topk(jnp.asarray(fresh(i)), args.k)),
         "upload+matmul+lax.top_k")
