@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--n1", type=int, default=1)
     ap.add_argument("--n2", type=int, default=5)
+    ap.add_argument("--width", type=int, default=768,
+                    help="feat width (768 = detail branch; 1024 = the "
+                    "FeatMerge trunk geometry)")
+    ap.add_argument("--swin-only", action="store_true")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -48,7 +52,7 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
-    B, G, FW = args.batch, 32, 768          # flagship feat grid, feat width
+    B, G, FW = args.batch, 32, args.width   # flagship feat grid, feat width
     dt = jnp.bfloat16
 
     def fresh(seed):
@@ -120,8 +124,9 @@ def main():
         os.environ["SIC_WINDOW_ATTN"] = mode
         marginal(f"swin_{mode}", Stack, fresh)
     os.environ["SIC_WINDOW_ATTN"] = "pallas"
-    marginal("convnext", ConvStack, fresh)
-    marginal("cross_attn", CrossStack, fresh_cross)
+    if not args.swin_only:
+        marginal("convnext", ConvStack, fresh)
+        marginal("cross_attn", CrossStack, fresh_cross)
 
     # detail-branch totals at the flagship block counts (one direction)
     sw = result["ms_per_block"].get("swin_pallas", 0.0)
