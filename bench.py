@@ -32,6 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent XLA compile cache (same store as the CLIs/service): a bench
+# run in a fresh container otherwise pays the multi-minute flagship
+# compiles before the first timed region
+from sic_tpu.cli._common import enable_compile_cache
+
+enable_compile_cache()
+
 # Same-pipeline host-CPU baseline, measured once with
 #   JAX_PLATFORMS=cpu python bench.py --cpu-baseline
 # on this container's CPU (see BASELINE.md north-star: >=10x CPU).

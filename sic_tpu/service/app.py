@@ -99,6 +99,7 @@ class ServiceState:
         self._lock = threading.Lock()
         self._rt = None
         self._clip = None
+        self._batcher = None
         self._index_cache: Dict[str, tuple] = {}
 
     @property
@@ -108,6 +109,15 @@ class ServiceState:
                 from ..cli._common import load_runtime
                 self._rt, _ = load_runtime(self.base_config, self.ckpt_path)
             return self._rt
+
+    @property
+    def batcher(self):
+        rt = self.runtime          # resolve OUTSIDE the lock (it locks too)
+        with self._lock:
+            if self._batcher is None:
+                from .batcher import MicroBatcher
+                self._batcher = MicroBatcher(rt)
+            return self._batcher
 
     @property
     def clip(self):
@@ -148,17 +158,25 @@ class ServiceState:
             shutil.rmtree(job, ignore_errors=True)
 
     def decompress_bytes(self, filename: str, data: bytes) -> List[Tuple[str, bytes]]:
-        from ..cli.decompress import decompress_dir
-        job = self.work_dir / f"job_{uuid.uuid4().hex}"
-        in_dir, out_dir = job / "input", job / "output"
-        in_dir.mkdir(parents=True), out_dir.mkdir(parents=True)
-        try:
-            (in_dir / filename).write_bytes(data)
-            decompress_dir(self.runtime, in_dir, out_dir)
-            return [(p.name, p.read_bytes())
-                    for p in sorted(out_dir.glob("*.png"))]
-        finally:
-            shutil.rmtree(job, ignore_errors=True)
+        """c2df bytes -> [(png name, png bytes)], via the micro-batcher:
+        concurrent requests with the same stream geometry share ONE batched
+        device decode (service/batcher.py) instead of decoding one by one.
+        Header handling mirrors the decompress CLI (cli/decompress.py:50-64),
+        including the pre-contract coding_batch=1 fallback."""
+        from PIL import Image
+
+        from ..container import sanitize_enc_result_types, unpack_c2df
+        enc, header = unpack_c2df(data)
+        enc = sanitize_enc_result_types(enc)
+        enc["z_coder"] = header.get("z_coder", "torchac")
+        enc["coding_batch"] = int(header.get("coding_batch", 1))
+        img = np.asarray(self.batcher.decode(enc, output="u8"))
+        left, right, top, bot = header.get("padding", [0, 0, 0, 0])
+        H, W = img.shape[:2]
+        img = img[top:H - bot if bot else H, left:W - right if right else W]
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        return [(f"{Path(filename).stem}.png", buf.getvalue())]
 
     def search(self, q: np.ndarray, topk: int, index_dir=None):
         from ..cli.search import do_search

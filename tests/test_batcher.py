@@ -1,0 +1,120 @@
+"""MicroBatcher unit tests against a fake runtime (no device work):
+grouping, pow2 padding, geometry separation, overflow splitting, error
+propagation, and drain-on-close.  The service-level end-to-end behavior
+(byte-identity over HTTP) is covered in test_service.py."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from sic_tpu.service.batcher import MicroBatcher
+
+
+def _enc(val: int, stack=(1, 1), tok=32, cb=1):
+    """Minimal enc_result carrying a recognizable payload byte."""
+    return {
+        "stack_shape": stack,
+        "feat_shape": (1, 8, 8, 16),
+        "token_length": tok,
+        "coding_batch": cb,
+        "z_bit_stream": bytes([val]),
+        "h_bit_stream": b"",
+        "img_shape": (32, 32),
+        "z_indices_shape": (1, tok),
+    }
+
+
+class FakeRT:
+    """Decodes a stream to pixels equal to its first z byte."""
+
+    def __init__(self, fail_on=None, delay_s=0.0):
+        self.calls = []
+        self.fail_on = fail_on
+        self.delay_s = delay_s
+        self.lock = threading.Lock()
+
+    def _pix(self, e):
+        v = e["z_bit_stream"][0]
+        if self.fail_on is not None and v == self.fail_on:
+            raise ValueError(f"boom on {v}")
+        return np.full((4, 4, 3), v, np.uint8)
+
+    def decode_only(self, output="u8", **e):
+        with self.lock:
+            self.calls.append(1)
+        time.sleep(self.delay_s)
+        return self._pix(e)[None]
+
+    def decode_only_batched(self, encs, output="u8"):
+        with self.lock:
+            self.calls.append(len(encs))
+        time.sleep(self.delay_s)
+        return np.stack([self._pix(e) for e in encs])
+
+
+def test_groups_concurrent_same_geometry_and_pads_pow2():
+    rt = FakeRT()
+    mb = MicroBatcher(rt, window_ms=250, max_batch=16)
+    futs = [mb.submit(_enc(v)) for v in range(5)]
+    outs = [f.result(timeout=10) for f in futs]
+    for v, o in enumerate(outs):
+        assert o.shape == (4, 4, 3) and int(o[0, 0, 0]) == v
+    assert mb.batches_dispatched == 1
+    assert mb.requests_served == 5
+    assert rt.calls == [8]  # 5 padded to the pow2 width
+    mb.close()
+
+
+def test_single_request_uses_latency_path():
+    rt = FakeRT()
+    mb = MicroBatcher(rt, window_ms=20, max_batch=16)
+    out = mb.decode(_enc(7))
+    assert int(out[0, 0, 0]) == 7
+    assert rt.calls == [1]  # decode_only, not a padded batch
+    mb.close()
+
+
+def test_different_geometries_never_mix():
+    rt = FakeRT()
+    mb = MicroBatcher(rt, window_ms=200, max_batch=16)
+    fa = [mb.submit(_enc(v, stack=(1, 1))) for v in (1, 2)]
+    fb = [mb.submit(_enc(v, stack=(2, 2))) for v in (3, 4)]
+    fc = mb.submit(_enc(5, cb=8))  # same shape, different coding contract
+    vals = [f.result(timeout=10)[0, 0, 0] for f in fa + fb + [fc]]
+    assert vals == [1, 2, 3, 4, 5]
+    assert mb.batches_dispatched == 3
+    mb.close()
+
+
+def test_overflow_splits_into_full_batches():
+    rt = FakeRT()
+    mb = MicroBatcher(rt, window_ms=400, max_batch=2)
+    futs = [mb.submit(_enc(v)) for v in range(5)]
+    vals = sorted(int(f.result(timeout=10)[0, 0, 0]) for f in futs)
+    assert vals == [0, 1, 2, 3, 4]
+    assert mb.requests_served == 5
+    assert sum(rt.calls) >= 5 and max(rt.calls) <= 2
+    mb.close()
+
+
+def test_group_error_propagates_to_every_waiter():
+    rt = FakeRT(fail_on=1)
+    mb = MicroBatcher(rt, window_ms=150, max_batch=16)
+    futs = [mb.submit(_enc(v)) for v in (0, 1)]
+    for f in futs:
+        with pytest.raises(ValueError, match="boom"):
+            f.result(timeout=10)
+    # the batcher survives a failed group
+    assert int(mb.decode(_enc(3))[0, 0, 0]) == 3
+    mb.close()
+
+
+def test_close_drains_pending():
+    rt = FakeRT()
+    mb = MicroBatcher(rt, window_ms=5000, max_batch=16)
+    futs = [mb.submit(_enc(v)) for v in (1, 2)]
+    mb.close()  # must not leave the futures hanging for 5 s
+    assert [int(f.result(timeout=1)[0, 0, 0]) for f in futs] == [1, 2]
+    with pytest.raises(RuntimeError):
+        mb.submit(_enc(9))

@@ -125,3 +125,39 @@ def test_search_text_endpoint(server):
     lines = [json.loads(l) for l in resp.read().decode().splitlines() if l.strip()]
     assert lines[0]["query_type"] == "text"
     assert lines[-1]["type"] in ("done", "error")  # random CLIP weights OK
+
+
+def test_decompress_microbatching_concurrent_identical_bytes(server):
+    """Concurrent /decompress requests with the same stream geometry are
+    grouped into ONE batched device decode (service/batcher.py) and each
+    response is byte-identical to the sequential answer."""
+    import concurrent.futures
+
+    base, state, _root = server
+    from PIL import Image
+    rng = np.random.default_rng(3)
+    arr = (rng.uniform(size=(180, 220, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    body, ctype = _multipart("file", "mb.png", buf.getvalue())
+    c2df = _post(base + "/compress", body, ctype).read()
+
+    body, ctype = _multipart("file", "mb.c2df", c2df)
+    seq_png = _post(base + "/decompress", body, ctype).read()
+    assert seq_png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    # widen the window so the grouping is deterministic under load
+    from sic_tpu.service.batcher import MicroBatcher
+    state.batcher.close()
+    state._batcher = MicroBatcher(state.runtime, window_ms=800)
+    b0 = state._batcher.batches_dispatched
+
+    def one(_i):
+        return _post(base + "/decompress", body, ctype).read()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        outs = list(pool.map(one, range(4)))
+    for png in outs:
+        assert png == seq_png
+    assert state._batcher.requests_served >= 4
+    assert state._batcher.batches_dispatched - b0 <= 2  # grouped, not 4 singles
