@@ -28,10 +28,8 @@ import hashlib
 import io
 import json
 import os
-import shutil
 import threading
 import time
-import uuid
 import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -100,6 +98,7 @@ class ServiceState:
         self._rt = None
         self._clip = None
         self._batcher = None
+        self._enc_batcher = None
         self._index_cache: Dict[str, tuple] = {}
 
     @property
@@ -118,6 +117,15 @@ class ServiceState:
                 from .batcher import MicroBatcher
                 self._batcher = MicroBatcher(rt)
             return self._batcher
+
+    @property
+    def enc_batcher(self):
+        rt = self.runtime
+        with self._lock:
+            if self._enc_batcher is None:
+                from .batcher import EncodeBatcher
+                self._enc_batcher = EncodeBatcher(rt)
+            return self._enc_batcher
 
     @property
     def clip(self):
@@ -144,18 +152,41 @@ class ServiceState:
 
     # -- operations -----------------------------------------------------------
     def compress_bytes(self, filename: str, data: bytes) -> List[Tuple[str, bytes]]:
-        """image bytes -> [(out_name, c2df bytes)]."""
-        from ..cli.compress import compress_dir
-        job = self.work_dir / f"job_{uuid.uuid4().hex}"
-        in_dir, out_dir = job / "input", job / "output"
-        in_dir.mkdir(parents=True), out_dir.mkdir(parents=True)
-        try:
-            (in_dir / filename).write_bytes(data)
-            compress_dir(self.runtime, self.clip, in_dir, out_dir)
-            return [(p.name, p.read_bytes())
-                    for p in sorted((out_dir / "bitstreams").glob("*.c2df"))]
-        finally:
-            shutil.rmtree(job, ignore_errors=True)
+        """image bytes -> [(out_name, c2df bytes)], via the encode
+        micro-batcher: concurrent uploads with the same padded shape share
+        ONE batched device encode.  Field-for-field the same container the
+        compress CLI writes (cli/compress.py:91-112), minus the on-disk
+        clip_vecs/index side outputs a one-shot upload doesn't want."""
+        import io as _io
+
+        import jax.numpy as jnp
+
+        from ..container import pack_c2df
+        from ..data import load_image
+        from ..models import get_padding_size, pad_replicate
+
+        rt, clip_codec = self.runtime, self.clip
+        img = load_image(_io.BytesIO(data))           # (H, W, 3) in [-1, 1]
+        H, W = img.shape[:2]
+        pads = get_padding_size(H, W, 256)
+        x = pad_replicate(jnp.asarray(img)[None], pads)
+        enc_result = self.enc_batcher.encode(x)
+        clip_vec = clip_codec.image_to_unit_vec(img)
+        clip_stream, clip_meta = clip_codec.quantize_u8_and_compress(clip_vec)
+        enc_result["clip_stream"] = clip_stream
+        enc_result["clip_meta"] = clip_meta
+        header = {
+            "version": 2,
+            "model_id": clip_meta.get("model_id", ""),
+            "embed_dim": int(clip_meta.get("dim", 0)),
+            "quant_type": clip_meta.get("quant", "u8_symmetric_-1_1"),
+            "image_hw": [int(H), int(W)],
+            "padding": [int(p) for p in pads],
+            "z_coder": rt.z_format,
+            "coding_batch": rt.h_coder.coding_batch,
+        }
+        return [(f"{Path(filename).stem}.c2df",
+                 pack_c2df(enc_result, header))]
 
     def decompress_bytes(self, filename: str, data: bytes) -> List[Tuple[str, bytes]]:
         """c2df bytes -> [(png name, png bytes)], via the micro-batcher:

@@ -1,14 +1,13 @@
-"""Cross-request dynamic micro-batching for the serving decode path.
+"""Cross-request dynamic micro-batching for the serving paths.
 
-The reference serves every ``/decompress`` by respawning ``decompress.py``
-as a subprocess (reference: webapp.py:50-66) — one model load per request,
+The reference serves every ``/compress`` / ``/decompress`` by respawning a
+CLI subprocess (reference: webapp.py:50-66) — one model load per request,
 strictly serial.  sic_tpu's in-process service already amortizes the model;
 this module additionally amortizes the *device work*: concurrent requests
-whose streams share a decode geometry (the same bucket key the decompress
-CLI batches on, cli/decompress.py:61-64) are grouped and run through
-``CodecRuntime.decode_only_batched``, so the 4-sync autoregressive entropy
-chain and the generative decoder execute ONCE per group instead of once per
-request.
+whose streams share a geometry are grouped and run through the runtime's
+batched entry points (``decode_only_batched`` / ``encode_only_batched``),
+so the 4-sync autoregressive entropy chain (decode) or the single encode
+pass + fetch execute ONCE per group instead of once per request.
 
 Policy
 ------
@@ -16,87 +15,76 @@ The first request landing in an empty bucket opens a ``window_ms``
 collection window; the group dispatches at ``max_batch`` or at window
 expiry, whichever comes first.  Under light load a request pays at most
 ``window_ms`` extra (~8 ms against a ~110 ms decode p50); under concurrent
-load throughput approaches the batched-decode rate (BENCH: batch-32 decode
-runs ~6x the request-at-a-time rate per image).
+load throughput approaches the batched rate (BENCH: batch-32 decode runs
+~6x the request-at-a-time rate per image).
 
-Groups are PADDED to the next power of two by repeating the last stream:
+Groups are PADDED to the next power of two by repeating the last payload:
 every distinct batch size is a separate XLA executable, so free-form group
 sizes would compile-storm the first minutes of serving; padding bounds the
 compiled set to {1, 2, 4, ..., max_batch} at a worst-case <2x wasted lanes.
 The canonical coding-batch contract (models/bottleneck.py) makes the padded
 replay bit-identical for the real lanes — grouping NEVER changes bytes, a
-property the tests assert.
+property the tests assert for both directions.
 """
 from __future__ import annotations
 
 import threading
 import time
 from concurrent.futures import Future
-from typing import Any, Dict, List, Tuple
+from typing import Any, Callable, Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["MicroBatcher"]
+__all__ = ["MicroBatcher", "EncodeBatcher"]
 
 
-def _bucket_key(enc: Dict[str, Any], output: str) -> tuple:
-    """Streams that may share one batched decode (mirrors the decompress
-    CLI's grouping; decode_only_batched asserts the same invariants)."""
-    return (tuple(enc["stack_shape"]),
-            tuple(int(s) for s in enc["feat_shape"]),
-            int(enc["token_length"]),
-            enc.get("coding_batch"),
-            output)
+def _pow2_pad(items: list) -> list:
+    n = len(items)
+    width = 1
+    while width < n:
+        width *= 2
+    return items + [items[-1]] * (width - n)
 
 
-class MicroBatcher:
-    """Groups concurrent ``decode(enc_result)`` calls into batched decodes.
+class _GroupQueue:
+    """Generic window-grouping core: collects ``(key, payload)`` submissions
+    into per-key groups and hands each group to ``dispatch(key, payloads)``
+    (returning one result per payload) on a single worker thread."""
 
-    Thread-safe; one dispatcher thread (device work is serial anyway).
-    ``batches_dispatched`` / ``requests_served`` expose grouping behavior
-    for tests and ops dashboards.
-    """
-
-    def __init__(self, rt, window_ms: float = 8.0, max_batch: int = 16):
+    def __init__(self, dispatch: Callable[[tuple, List[Any]], List[Any]],
+                 window_ms: float, max_batch: int, name: str):
         assert max_batch >= 1
-        self.rt = rt
+        self._dispatch_fn = dispatch
         self.window_s = float(window_ms) / 1000.0
         self.max_batch = int(max_batch)
         self._cv = threading.Condition()
-        # key -> (t_first_monotonic, [(enc, future), ...])
+        # key -> (t_first_monotonic, [(payload, future), ...])
         self._buckets: Dict[tuple, Tuple[float, List[tuple]]] = {}
         self._closed = False
         self.batches_dispatched = 0
         self.requests_served = 0
-        self._thread = threading.Thread(
-            target=self._loop, name="sic-microbatcher", daemon=True)
+        self._thread = threading.Thread(target=self._loop, name=name,
+                                        daemon=True)
         self._thread.start()
 
-    # -- client API ------------------------------------------------------------
-    def submit(self, enc: Dict[str, Any], output: str = "u8") -> Future:
-        """Enqueue one stream; resolves to (H, W, 3) pixels."""
+    def submit(self, key: tuple, payload: Any) -> Future:
         fut: Future = Future()
-        key = _bucket_key(enc, output)
         with self._cv:
             if self._closed:
-                raise RuntimeError("MicroBatcher is closed")
+                raise RuntimeError("batcher is closed")
             if key not in self._buckets:
                 self._buckets[key] = (time.monotonic(), [])
-            self._buckets[key][1].append((dict(enc), fut))
+            self._buckets[key][1].append((payload, fut))
             self._cv.notify_all()
         return fut
 
-    def decode(self, enc: Dict[str, Any], output: str = "u8") -> np.ndarray:
-        return self.submit(enc, output).result()
-
     def close(self):
-        """Drain pending groups, then stop the dispatcher."""
+        """Drain pending groups, then stop the worker."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()
         self._thread.join()
 
-    # -- dispatcher ------------------------------------------------------------
     def _loop(self):
         while True:
             with self._cv:
@@ -120,30 +108,85 @@ class MicroBatcher:
                     items = items[:self.max_batch]
                 else:
                     del self._buckets[key]
-            self._dispatch(key, items)
+            self._run_group(key, items)
 
-    def _dispatch(self, key: tuple, items: List[tuple]):
-        output = key[-1]
-        encs = [e for e, _ in items]
+    def _run_group(self, key: tuple, items: List[tuple]):
         try:
-            if len(encs) == 1:
-                out = np.asarray(self.rt.decode_only(**encs[0], output=output))
-            else:
-                # pad to the next power of two: bounds the compiled-executable
-                # set; the coding-batch contract keeps real lanes bit-identical
-                n = len(encs)
-                width = 1
-                while width < n:
-                    width *= 2
-                padded = encs + [encs[-1]] * (width - n)
-                out = np.asarray(
-                    self.rt.decode_only_batched(padded, output=output))
+            outs = self._dispatch_fn(key, [p for p, _ in items])
             with self._cv:
                 self.batches_dispatched += 1
                 self.requests_served += len(items)
-            for i, (_e, fut) in enumerate(items):
-                fut.set_result(out[i])
+            for (_p, fut), out in zip(items, outs):
+                fut.set_result(out)
         except Exception as exc:  # propagate to every waiter in the group
-            for _e, fut in items:
+            for _p, fut in items:
                 if not fut.done():
                     fut.set_exception(exc)
+
+
+class MicroBatcher(_GroupQueue):
+    """Groups concurrent ``decode(enc_result)`` calls into batched decodes.
+
+    Thread-safe; one worker thread (device work is serial anyway).
+    ``batches_dispatched`` / ``requests_served`` expose grouping behavior
+    for tests and ops dashboards.
+    """
+
+    def __init__(self, rt, window_ms: float = 8.0, max_batch: int = 16):
+        self.rt = rt
+        super().__init__(self._decode_group, window_ms, max_batch,
+                         name="sic-decode-batcher")
+
+    @staticmethod
+    def _bucket_key(enc: Dict[str, Any], output: str) -> tuple:
+        """Streams that may share one batched decode (mirrors the decompress
+        CLI's grouping; decode_only_batched asserts the same invariants)."""
+        return (tuple(enc["stack_shape"]),
+                tuple(int(s) for s in enc["feat_shape"]),
+                int(enc["token_length"]),
+                enc.get("coding_batch"),
+                output)
+
+    def _decode_group(self, key: tuple, encs: List[dict]) -> List[np.ndarray]:
+        output = key[-1]
+        if len(encs) == 1:
+            out = np.asarray(self.rt.decode_only(**encs[0], output=output))
+        else:
+            out = np.asarray(self.rt.decode_only_batched(
+                _pow2_pad(encs), output=output))
+        return [out[i] for i in range(len(encs))]
+
+    # -- client API ------------------------------------------------------------
+    def submit_decode(self, enc: Dict[str, Any], output: str = "u8") -> Future:
+        """Enqueue one stream; resolves to (H, W, 3) pixels."""
+        return self.submit(self._bucket_key(enc, output), dict(enc))
+
+    def decode(self, enc: Dict[str, Any], output: str = "u8") -> np.ndarray:
+        return self.submit_decode(enc, output).result()
+
+
+class EncodeBatcher(_GroupQueue):
+    """Groups concurrent ``encode(x_padded)`` calls (one image each, already
+    replicate-padded to the tile grid) into batched encodes bucketed by the
+    padded shape — the serving twin of the compress CLI's shape buckets
+    (cli/compress.py:117-123)."""
+
+    def __init__(self, rt, window_ms: float = 8.0, max_batch: int = 16):
+        self.rt = rt
+        super().__init__(self._encode_group, window_ms, max_batch,
+                         name="sic-encode-batcher")
+
+    def _encode_group(self, key: tuple, xs: List[Any]) -> List[dict]:
+        import jax.numpy as jnp
+        if len(xs) == 1:
+            return self.rt.encode_only_batched(xs[0])
+        x = jnp.concatenate(_pow2_pad(list(xs)), axis=0)
+        return self.rt.encode_only_batched(x)[:len(xs)]
+
+    # -- client API ------------------------------------------------------------
+    def encode(self, x_padded) -> dict:
+        """x_padded: (1, H, W, 3) in [-1, 1], H/W multiples of the tile size;
+        returns the enc_result dict for that image."""
+        assert x_padded.ndim == 4 and x_padded.shape[0] == 1
+        key = (int(x_padded.shape[1]), int(x_padded.shape[2]))
+        return self.submit(key, x_padded).result()

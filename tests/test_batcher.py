@@ -56,7 +56,7 @@ class FakeRT:
 def test_groups_concurrent_same_geometry_and_pads_pow2():
     rt = FakeRT()
     mb = MicroBatcher(rt, window_ms=250, max_batch=16)
-    futs = [mb.submit(_enc(v)) for v in range(5)]
+    futs = [mb.submit_decode(_enc(v)) for v in range(5)]
     outs = [f.result(timeout=10) for f in futs]
     for v, o in enumerate(outs):
         assert o.shape == (4, 4, 3) and int(o[0, 0, 0]) == v
@@ -78,9 +78,9 @@ def test_single_request_uses_latency_path():
 def test_different_geometries_never_mix():
     rt = FakeRT()
     mb = MicroBatcher(rt, window_ms=200, max_batch=16)
-    fa = [mb.submit(_enc(v, stack=(1, 1))) for v in (1, 2)]
-    fb = [mb.submit(_enc(v, stack=(2, 2))) for v in (3, 4)]
-    fc = mb.submit(_enc(5, cb=8))  # same shape, different coding contract
+    fa = [mb.submit_decode(_enc(v, stack=(1, 1))) for v in (1, 2)]
+    fb = [mb.submit_decode(_enc(v, stack=(2, 2))) for v in (3, 4)]
+    fc = mb.submit_decode(_enc(5, cb=8))  # same shape, different coding contract
     vals = [f.result(timeout=10)[0, 0, 0] for f in fa + fb + [fc]]
     assert vals == [1, 2, 3, 4, 5]
     assert mb.batches_dispatched == 3
@@ -90,7 +90,7 @@ def test_different_geometries_never_mix():
 def test_overflow_splits_into_full_batches():
     rt = FakeRT()
     mb = MicroBatcher(rt, window_ms=400, max_batch=2)
-    futs = [mb.submit(_enc(v)) for v in range(5)]
+    futs = [mb.submit_decode(_enc(v)) for v in range(5)]
     vals = sorted(int(f.result(timeout=10)[0, 0, 0]) for f in futs)
     assert vals == [0, 1, 2, 3, 4]
     assert mb.requests_served == 5
@@ -101,7 +101,7 @@ def test_overflow_splits_into_full_batches():
 def test_group_error_propagates_to_every_waiter():
     rt = FakeRT(fail_on=1)
     mb = MicroBatcher(rt, window_ms=150, max_batch=16)
-    futs = [mb.submit(_enc(v)) for v in (0, 1)]
+    futs = [mb.submit_decode(_enc(v)) for v in (0, 1)]
     for f in futs:
         with pytest.raises(ValueError, match="boom"):
             f.result(timeout=10)
@@ -113,8 +113,52 @@ def test_group_error_propagates_to_every_waiter():
 def test_close_drains_pending():
     rt = FakeRT()
     mb = MicroBatcher(rt, window_ms=5000, max_batch=16)
-    futs = [mb.submit(_enc(v)) for v in (1, 2)]
+    futs = [mb.submit_decode(_enc(v)) for v in (1, 2)]
     mb.close()  # must not leave the futures hanging for 5 s
     assert [int(f.result(timeout=1)[0, 0, 0]) for f in futs] == [1, 2]
     with pytest.raises(RuntimeError):
-        mb.submit(_enc(9))
+        mb.submit_decode(_enc(9))
+
+
+class FakeEncRT:
+    """Encodes a padded batch to one enc dict per REAL image, tagging each
+    with its input's corner pixel so results can't be cross-wired."""
+
+    def __init__(self):
+        self.calls = []
+
+    def encode_only_batched(self, x):
+        x = np.asarray(x)
+        self.calls.append(x.shape[0])
+        return [{"tag": float(x[i, 0, 0, 0]), "img_shape": x.shape[1:3]}
+                for i in range(x.shape[0])]
+
+
+def test_encode_batcher_groups_by_padded_shape():
+    from sic_tpu.service.batcher import EncodeBatcher
+    rt = FakeEncRT()
+    eb = EncodeBatcher(rt, window_ms=250, max_batch=16)
+    import concurrent.futures
+
+    def one(v, hw):
+        x = np.full((1, hw, hw, 3), float(v), np.float32)
+        return eb.encode(x)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+        futs = [pool.submit(one, v, 8) for v in range(3)] + \
+               [pool.submit(one, v, 16) for v in (7, 9)]
+        outs = [f.result(timeout=10) for f in futs]
+    assert [o["tag"] for o in outs] == [0.0, 1.0, 2.0, 7.0, 9.0]
+    # two shape buckets -> two dispatches; 3 reals pad to 4 lanes
+    assert sorted(rt.calls) == [2, 4]
+    assert eb.batches_dispatched == 2
+    eb.close()
+
+
+def test_encode_batcher_single_passes_through():
+    from sic_tpu.service.batcher import EncodeBatcher
+    rt = FakeEncRT()
+    eb = EncodeBatcher(rt, window_ms=20, max_batch=16)
+    out = eb.encode(np.full((1, 8, 8, 3), 5.0, np.float32))
+    assert out["tag"] == 5.0 and rt.calls == [1]
+    eb.close()

@@ -161,3 +161,39 @@ def test_decompress_microbatching_concurrent_identical_bytes(server):
         assert png == seq_png
     assert state._batcher.requests_served >= 4
     assert state._batcher.batches_dispatched - b0 <= 2  # grouped, not 4 singles
+
+
+def test_compress_microbatching_concurrent_identical_bytes(server):
+    """Concurrent /compress uploads with the same padded shape are grouped
+    into ONE batched device encode; batch rows are computed independently,
+    so identical uploads must produce byte-identical .c2df responses."""
+    import concurrent.futures
+
+    base, state, _root = server
+    from PIL import Image
+    rng = np.random.default_rng(11)
+    arr = (rng.uniform(size=(150, 190, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    body, ctype = _multipart("file", "cb.png", buf.getvalue())
+
+    solo = _post(base + "/compress", body, ctype).read()
+    assert solo[:4] == b"C2DF"
+
+    from sic_tpu.service.batcher import EncodeBatcher
+    state.enc_batcher.close()
+    state._enc_batcher = EncodeBatcher(state.runtime, window_ms=800)
+    b0 = state._enc_batcher.batches_dispatched
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
+        outs = list(pool.map(
+            lambda _: _post(base + "/compress", body, ctype).read(), range(3)))
+    for c in outs:
+        assert c == solo  # grouping never changes bytes
+    assert state._enc_batcher.requests_served >= 3
+    assert state._enc_batcher.batches_dispatched - b0 <= 2
+
+    # the grouped stream still decodes
+    body, ctype = _multipart("file", "cb.c2df", outs[0])
+    png = _post(base + "/decompress", body, ctype).read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
