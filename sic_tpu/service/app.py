@@ -99,6 +99,7 @@ class ServiceState:
         self._clip = None
         self._batcher = None
         self._enc_batcher = None
+        self._search_batcher = None
         self._index_cache: Dict[str, tuple] = {}
 
     @property
@@ -210,8 +211,21 @@ class ServiceState:
         return [(f"{Path(filename).stem}.png", buf.getvalue())]
 
     def search(self, q: np.ndarray, topk: int, index_dir=None):
-        from ..cli.search import do_search
-        return do_search(q, self.index(index_dir), topk=topk)
+        """Single query -> [(doc_id, score), ...], via the search batcher:
+        concurrent queries against the same index run as ONE scoring wave
+        (same output as cli.search.do_search row-for-row)."""
+        with self._lock:
+            if self._search_batcher is None:
+                from .batcher import SearchBatcher
+                self._search_batcher = SearchBatcher()
+        index = self.index(index_dir)
+        scores, ids = self._search_batcher.search(index, q, topk)
+        out = []
+        for score, i in zip(scores, ids):
+            if i < 0:
+                continue
+            out.append((index.ids[int(i)], float(score)))
+        return out
 
     def media_roots(self) -> Tuple[Path, ...]:
         """Directories ``GET /file`` is allowed to serve from."""

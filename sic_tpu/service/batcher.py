@@ -35,7 +35,7 @@ from typing import Any, Callable, Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["MicroBatcher", "EncodeBatcher"]
+__all__ = ["MicroBatcher", "EncodeBatcher", "SearchBatcher"]
 
 
 def _pow2_pad(items: list) -> list:
@@ -190,3 +190,31 @@ class EncodeBatcher(_GroupQueue):
         assert x_padded.ndim == 4 and x_padded.shape[0] == 1
         key = (int(x_padded.shape[1]), int(x_padded.shape[2]))
         return self.submit(key, x_padded).result()
+
+
+class SearchBatcher(_GroupQueue):
+    """Groups concurrent search queries against the same index into ONE
+    scoring wave — a single (B, D) @ (N, D)^T matmul + one top-k instead of
+    B single-row dispatches.  The search bench measured each wave through
+    the dev tunnel at ~67 ms of upload/RTT against ~14 ms of device compute
+    (benchmarks/search_breakdown.py), so serving QPS is wave-size-bound:
+    batching concurrent requests is THE lever, which is why this defaults
+    to a much larger ``max_batch`` than the codec batchers."""
+
+    def __init__(self, window_ms: float = 4.0, max_batch: int = 256):
+        super().__init__(self._search_group, window_ms, max_batch,
+                         name="sic-search-batcher")
+
+    def _search_group(self, key: tuple, payloads: List[tuple]) -> List[tuple]:
+        index = payloads[0][0]            # same object for the whole bucket
+        k = max(p[2] for p in payloads)
+        qs = [np.asarray(p[1], np.float32).reshape(-1) for p in payloads]
+        scores, ids = index.search(np.stack(_pow2_pad(qs)), k=k)
+        return [(scores[i, :p[2]], ids[i, :p[2]])
+                for i, p in enumerate(payloads)]
+
+    # -- client API ------------------------------------------------------------
+    def search(self, index, q, topk: int):
+        """One query vector against ``index``; returns (scores, ids) rows
+        shaped (topk,) exactly as ``VectorIndex.search``'s row slices."""
+        return self.submit((id(index),), (index, q, int(topk))).result()

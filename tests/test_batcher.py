@@ -162,3 +162,55 @@ def test_encode_batcher_single_passes_through():
     out = eb.encode(np.full((1, 8, 8, 3), 5.0, np.float32))
     assert out["tag"] == 5.0 and rt.calls == [1]
     eb.close()
+
+
+class FakeIndex:
+    """search(Q, k) -> scores = first component of each query row."""
+
+    def __init__(self):
+        self.calls = []
+        self.ids = [f"doc{i}" for i in range(64)]
+
+    def search(self, Q, k):
+        Q = np.asarray(Q)
+        self.calls.append((Q.shape[0], k))
+        scores = np.tile(Q[:, :1], (1, k)).astype(np.float32)
+        ids = np.tile(np.arange(k, dtype=np.int64), (Q.shape[0], 1))
+        return scores, ids
+
+
+def test_search_batcher_groups_one_wave_and_slices_topk():
+    from sic_tpu.service.batcher import SearchBatcher
+    import concurrent.futures
+    idx = FakeIndex()
+    sb = SearchBatcher(window_ms=250, max_batch=256)
+
+    def one(v, k):
+        q = np.full((8,), float(v), np.float32)
+        return sb.search(idx, q, k)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(one, v, k) for v, k in
+                ((1, 3), (2, 5), (3, 2), (4, 5), (5, 4))]
+        outs = [f.result(timeout=10) for f in futs]
+    for (v, k), (scores, ids) in zip(((1, 3), (2, 5), (3, 2), (4, 5), (5, 4)),
+                                     outs):
+        assert scores.shape == (k,) and ids.shape == (k,)
+        assert float(scores[0]) == float(v)
+    # one wave: 5 queries pow2-padded to 8 rows at the max topk of the group
+    assert idx.calls == [(8, 5)]
+    assert sb.batches_dispatched == 1
+    sb.close()
+
+
+def test_search_batcher_separates_indices():
+    from sic_tpu.service.batcher import SearchBatcher
+    ia, ib = FakeIndex(), FakeIndex()
+    sb = SearchBatcher(window_ms=150, max_batch=256)
+    fa = sb.submit((id(ia),), (ia, np.full((4,), 1.0, np.float32), 2))
+    fb = sb.submit((id(ib),), (ib, np.full((4,), 2.0, np.float32), 2))
+    sa, _ = fa.result(timeout=10)
+    sbb, _ = fb.result(timeout=10)
+    assert float(sa[0]) == 1.0 and float(sbb[0]) == 2.0
+    assert ia.calls and ib.calls  # each index saw its own wave
+    sb.close()
