@@ -113,15 +113,43 @@ class _GroupQueue:
     def _run_group(self, key: tuple, items: List[tuple]):
         try:
             outs = self._dispatch_fn(key, [p for p, _ in items])
+            if len(outs) != len(items):
+                # a silent mismatch would leave the unmatched futures
+                # hanging forever on zip truncation — fail loudly instead
+                raise RuntimeError(
+                    f"dispatch returned {len(outs)} results for "
+                    f"{len(items)} payloads")
             with self._cv:
                 self.batches_dispatched += 1
                 self.requests_served += len(items)
             for (_p, fut), out in zip(items, outs):
                 fut.set_result(out)
-        except Exception as exc:  # propagate to every waiter in the group
-            for _p, fut in items:
-                if not fut.done():
-                    fut.set_exception(exc)
+        except Exception as exc:
+            if len(items) == 1:
+                if not items[0][1].done():
+                    items[0][1].set_exception(exc)
+                return
+            # FAILURE ISOLATION: one malformed payload (e.g. a corrupt
+            # .c2df upload whose header geometry matched the bucket) must
+            # not 500 the innocent requests batched with it.  Retry each
+            # lane alone; only the actual culprits fail.  Cost: one wasted
+            # batched attempt + per-lane retries — paid only on failure.
+            for p, fut in items:
+                if fut.done():
+                    continue
+                try:
+                    outs = self._dispatch_fn(key, [p])
+                    if len(outs) != 1:
+                        raise RuntimeError(
+                            f"dispatch returned {len(outs)} results for 1 "
+                            "payload")
+                except Exception as lane_exc:
+                    fut.set_exception(lane_exc)
+                else:
+                    with self._cv:
+                        self.batches_dispatched += 1
+                        self.requests_served += 1
+                    fut.set_result(outs[0])
 
 
 class MicroBatcher(_GroupQueue):

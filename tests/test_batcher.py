@@ -98,16 +98,58 @@ def test_overflow_splits_into_full_batches():
     mb.close()
 
 
-def test_group_error_propagates_to_every_waiter():
+def test_group_failure_is_isolated_to_the_culprit():
+    """One corrupt stream in a group must not fail its co-batched
+    neighbors: the batcher retries each lane alone and only the actual
+    culprit's future raises."""
     rt = FakeRT(fail_on=1)
     mb = MicroBatcher(rt, window_ms=150, max_batch=16)
-    futs = [mb.submit_decode(_enc(v)) for v in (0, 1)]
-    for f in futs:
-        with pytest.raises(ValueError, match="boom"):
-            f.result(timeout=10)
+    futs = [mb.submit_decode(_enc(v)) for v in (0, 1, 2)]
+    assert int(futs[0].result(timeout=10)[0, 0, 0]) == 0
+    with pytest.raises(ValueError, match="boom"):
+        futs[1].result(timeout=10)
+    assert int(futs[2].result(timeout=10)[0, 0, 0]) == 2
+    # batched attempt + per-lane retries, all visible in the counters
+    assert rt.calls[0] == 4          # the failed pow2-padded group
+    assert sorted(rt.calls[1:]) == [1, 1, 1]
+    assert mb.requests_served == 2   # only successful lanes count
     # the batcher survives a failed group
     assert int(mb.decode(_enc(3))[0, 0, 0]) == 3
     mb.close()
+
+
+def test_single_lane_error_still_propagates():
+    rt = FakeRT(fail_on=7)
+    mb = MicroBatcher(rt, window_ms=10, max_batch=16)
+    with pytest.raises(ValueError, match="boom"):
+        mb.decode(_enc(7))
+    assert rt.calls == [1]  # no pointless retry of a solo lane
+    mb.close()
+
+
+def test_result_count_mismatch_fails_instead_of_hanging():
+    """A dispatch that returns the wrong number of results must surface as
+    an error on every future, not hang the unmatched waiters forever."""
+    from sic_tpu.service.batcher import _GroupQueue
+
+    def bad_dispatch(key, payloads):
+        return payloads[:1] if len(payloads) > 1 else payloads
+
+    gq = _GroupQueue(bad_dispatch, window_ms=100, max_batch=16, name="t")
+    futs = [gq.submit(("k",), v) for v in (1, 2)]
+    # isolation retries each lane alone, where bad_dispatch behaves
+    assert [f.result(timeout=10) for f in futs] == [1, 2]
+    gq.close()
+
+    def always_bad(key, payloads):
+        return []
+
+    gq = _GroupQueue(always_bad, window_ms=50, max_batch=16, name="t2")
+    futs = [gq.submit(("k",), v) for v in (1, 2)]
+    for f in futs:
+        with pytest.raises(RuntimeError, match="results"):
+            f.result(timeout=10)
+    gq.close()
 
 
 def test_close_drains_pending():

@@ -197,3 +197,50 @@ def test_compress_microbatching_concurrent_identical_bytes(server):
     body, ctype = _multipart("file", "cb.c2df", outs[0])
     png = _post(base + "/decompress", body, ctype).read()
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_corrupt_stream_in_a_group_fails_alone(server):
+    """A corrupt upload whose header geometry matches the bucket must get
+    its own 500 without poisoning the co-batched good requests (failure
+    isolation in service/batcher.py)."""
+    import concurrent.futures
+
+    base, state, _root = server
+    from PIL import Image
+
+    from sic_tpu.container import pack_c2df, unpack_c2df
+    rng = np.random.default_rng(17)
+    arr = (rng.uniform(size=(160, 200, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    body, ctype = _multipart("file", "iso.png", buf.getvalue())
+    good = _post(base + "/compress", body, ctype).read()
+    good_body, good_ct = _multipart("file", "iso.c2df", good)
+    seq_png = _post(base + "/decompress", good_body, good_ct).read()
+
+    # same geometry fields, garbage h stream -> same bucket, decode raises
+    enc, header = unpack_c2df(good)
+    enc["h_bit_stream"] = b"\x00\x00\x00"
+    bad = pack_c2df(enc, header)
+    bad_body, bad_ct = _multipart("file", "bad.c2df", bad)
+
+    from sic_tpu.service.batcher import MicroBatcher
+    state.batcher.close()
+    state._batcher = MicroBatcher(state.runtime, window_ms=800)
+
+    def post_good(_i):
+        return _post(base + "/decompress", good_body, good_ct).read()
+
+    def post_bad():
+        try:
+            _post(base + "/decompress", bad_body, bad_ct)
+        except urllib.error.HTTPError as e:
+            return e.code
+        return 200
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        goods = [pool.submit(post_good, i) for i in range(3)]
+        bad_code = pool.submit(post_bad).result()
+    assert bad_code == 500
+    for f in goods:
+        assert f.result() == seq_png  # unharmed AND byte-identical
