@@ -41,23 +41,52 @@ def build_index_from_c2df_dir(c2df_dir, index_dir) -> int:
     return index.ntotal
 
 
+def ensure_images_count(image_dir, desired: int, auto_download: bool = False,
+                        download_dir=None, size: str = "512x512", seed=None,
+                        timeout: int = 20) -> None:
+    """Fill an image-dir shortfall from Picsum (reference: build.py:160-172)."""
+    have = len(list_images(image_dir)) if Path(image_dir).exists() else 0
+    if have >= desired or not auto_download:
+        return
+    need = desired - have
+    dd = download_dir or image_dir
+    print(f"[INFO] Not enough images (have {have} < required {desired}); "
+          f"auto-downloading {need} images to {dd}")
+    got = download_random_picsum(need, dd, size=size, seed=seed,
+                                 timeout=timeout)
+    print(f"[INFO] Download complete: added {got} images")
+
+
 def build_index_from_image_dir(image_dir, index_dir, clip_ckpt=None,
                                bpe_path=None, batch_size: int = 32,
                                exts=None, limit=None, random_pick=False,
-                               seed=None) -> int:
-    """(reference: build.py:161-240)"""
+                               seed=None, model_id=None, desired=None,
+                               auto_download=False, download_dir=None,
+                               download_size: str = "512x512",
+                               timeout: int = 20) -> int:
+    """(reference: build.py:209-240)"""
+    if desired is not None and auto_download:
+        ensure_images_count(image_dir, desired, auto_download=True,
+                            download_dir=download_dir, size=download_size,
+                            seed=seed, timeout=timeout)
     paths = list_images(image_dir, exts or
                         (".jpg", ".jpeg", ".png", ".webp", ".bmp"))
     if not paths:
         raise FileNotFoundError(f"no images in {image_dir}")
-    if limit is not None and limit < len(paths):
+    # --desired wins over --limit as the selection count (build.py:219-225).
+    target_n = desired if (desired is not None and desired > 0) else limit
+    if target_n is not None and 0 < target_n < len(paths):
         if random_pick:
             rng = random.Random(seed)
-            paths = rng.sample(paths, limit)
+            paths = rng.sample(paths, target_n)
         else:
-            paths = paths[:limit]
+            paths = paths[:target_n]
 
     cc = load_clip_codec(clip_ckpt, bpe_path)
+    if model_id and model_id != cc.model_id:
+        print(f"[WARN] --model_id {model_id!r} requested but this build has "
+              f"no model zoo; the loaded tower is {cc.model_id!r} "
+              "(bring matching weights via --clip_ckpt)", file=sys.stderr)
     index = VectorIndex(dim=cc.spec.embed_dim)
     for s in progress(range(0, len(paths), batch_size),
                       total=(len(paths) + batch_size - 1) // batch_size,
@@ -68,8 +97,10 @@ def build_index_from_image_dir(image_dir, index_dir, clip_ckpt=None,
                           for p in chunk])
         vecs = cc.images_to_unit_vecs(batch)
         index.add_batch(vecs, [str(p) for p in chunk])
+    # The requested id is what goes into meta (build.py:238) so search
+    # loads the matching tower later.
     index.persist(index_dir, meta={"dim": index.dim, "metric": "ip",
-                                   "model_id": cc.model_id})
+                                   "model_id": model_id or cc.model_id})
     return index.ntotal
 
 
@@ -125,6 +156,16 @@ def main(argv=None):
     ap_bimg.add_argument("--limit", type=int, default=None)
     ap_bimg.add_argument("--random", action="store_true")
     ap_bimg.add_argument("--seed", type=int, default=None)
+    ap_bimg.add_argument("--model_id", type=str, default=None,
+                         help="e.g. ViT-B-32:laion2b_s34b_b79k (recorded in "
+                              "meta.json; weights come from --clip_ckpt)")
+    ap_bimg.add_argument("--desired", type=int, default=None,
+                         help="target image count; wins over --limit")
+    ap_bimg.add_argument("--auto_download", action="store_true",
+                         help="fill any shortfall vs --desired from Picsum")
+    ap_bimg.add_argument("--download_dir", type=Path, default=None)
+    ap_bimg.add_argument("--download_size", type=str, default="512x512")
+    ap_bimg.add_argument("--timeout", type=int, default=20)
 
     args = ap.parse_args(argv)
     try:
@@ -146,7 +187,11 @@ def main(argv=None):
             n = build_index_from_image_dir(
                 args.image_dir, args.index_dir, args.clip_ckpt, args.bpe_path,
                 batch_size=args.batch_size, exts=exts, limit=args.limit,
-                random_pick=args.random, seed=args.seed)
+                random_pick=args.random, seed=args.seed,
+                model_id=args.model_id, desired=args.desired,
+                auto_download=args.auto_download,
+                download_dir=args.download_dir,
+                download_size=args.download_size, timeout=args.timeout)
             print(f"[OK] built index over {n} images -> {args.index_dir}")
     except Exception as e:
         print(f"[ERROR] {e}")

@@ -84,3 +84,45 @@ def test_evaluate_cli(workdir, capsys):
     assert np.isfinite(summary["mean_psnr"])
     per_img = lines[0]
     assert "ms_ssim" in per_img  # images are >=176px
+
+
+def test_build_images_desired_and_model_id(workdir, monkeypatch, tmp_path):
+    """build-images parity flags: --desired caps the selection (wins over
+    --limit) and --model_id is recorded in meta.json (reference:
+    build.py:209-240)."""
+    from sic_tpu.cli import build as build_cli
+    from sic_tpu.retrieval import VectorIndex
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    from PIL import Image
+    for i in range(5):
+        arr = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im_{i}.png")
+
+    class _StubCodec:
+        model_id = "ViT-B-32:laion2b_s34b_b79k"
+
+        class spec:
+            embed_dim = 8
+
+        def images_to_unit_vecs(self, batch):
+            v = rng.standard_normal((batch.shape[0], 8)).astype(np.float32)
+            return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    monkeypatch.setattr(build_cli, "load_clip_codec",
+                        lambda *a, **k: _StubCodec())
+
+    idx_dir = tmp_path / "idx"
+    build_cli.main(["build-images", "--image_dir", str(img_dir),
+                    "--index_dir", str(idx_dir),
+                    "--desired", "3", "--limit", "5",
+                    "--model_id", "ViT-L-14:laion2b_s32b_b82k"])
+    index, meta = VectorIndex.load(idx_dir)
+    assert index.ntotal == 3
+    assert meta["model_id"] == "ViT-L-14:laion2b_s32b_b82k"
+
+    # shortfall helper is a no-op without --auto_download (no egress here)
+    build_cli.ensure_images_count(img_dir, desired=99, auto_download=False)
+    assert len(list(img_dir.glob("*.png"))) == 5
