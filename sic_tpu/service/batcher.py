@@ -234,15 +234,21 @@ class SearchBatcher(_GroupQueue):
                          name="sic-search-batcher")
 
     def _search_group(self, key: tuple, payloads: List[tuple]) -> List[tuple]:
-        index = payloads[0][0]            # same object for the whole bucket
-        k = max(p[2] for p in payloads)
-        qs = [np.asarray(p[1], np.float32).reshape(-1) for p in payloads]
+        index = key[0]
+        k = max(p[1] for p in payloads)
+        qs = [np.asarray(p[0], np.float32).reshape(-1) for p in payloads]
         scores, ids = index.search(np.stack(_pow2_pad(qs)), k=k)
-        return [(scores[i, :p[2]], ids[i, :p[2]])
+        return [(scores[i, :p[1]], ids[i, :p[1]])
                 for i, p in enumerate(payloads)]
 
     # -- client API ------------------------------------------------------------
     def search(self, index, q, topk: int):
         """One query vector against ``index``; returns (scores, ids) rows
-        shaped (topk,) exactly as ``VectorIndex.search``'s row slices."""
-        return self.submit((id(index),), (index, q, int(topk))).result()
+        shaped (topk,) exactly as ``VectorIndex.search``'s row slices.
+
+        The bucket key is the index OBJECT (identity hash), not ``id()``:
+        the service swaps the index when its files change, and CPython
+        reuses freed addresses, so an ``id()`` key could silently merge
+        queries against a dead index with queries against its replacement.
+        Keying on the object pins it for the life of the bucket instead."""
+        return self.submit((index,), (q, int(topk))).result()

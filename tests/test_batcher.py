@@ -249,8 +249,10 @@ def test_search_batcher_separates_indices():
     from sic_tpu.service.batcher import SearchBatcher
     ia, ib = FakeIndex(), FakeIndex()
     sb = SearchBatcher(window_ms=150, max_batch=256)
-    fa = sb.submit((id(ia),), (ia, np.full((4,), 1.0, np.float32), 2))
-    fb = sb.submit((id(ib),), (ib, np.full((4,), 2.0, np.float32), 2))
+    # keys are the index OBJECTS (identity), not id() — address reuse after
+    # an index reload must never merge buckets
+    fa = sb.submit((ia,), (np.full((4,), 1.0, np.float32), 2))
+    fb = sb.submit((ib,), (np.full((4,), 2.0, np.float32), 2))
     sa, _ = fa.result(timeout=10)
     sbb, _ = fb.result(timeout=10)
     assert float(sa[0]) == 1.0 and float(sbb[0]) == 2.0
