@@ -126,3 +126,23 @@ def test_build_images_desired_and_model_id(workdir, monkeypatch, tmp_path):
     # shortfall helper is a no-op without --auto_download (no egress here)
     build_cli.ensure_images_count(img_dir, desired=99, auto_download=False)
     assert len(list(img_dir.glob("*.png"))) == 5
+
+
+def test_generate_cli(tmp_path):
+    """MaskGIT-prior sampling end to end: tokens -> TiTok pixel decode ->
+    PNGs, deterministic for a fixed seed (reference capability:
+    titok/maskgit.py:81-137, unexposed there)."""
+    from PIL import Image
+
+    from sic_tpu.cli import generate as gen_cli
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    args = ["--classes", "1,3", "--seed", "5", "--steps", "4", "--tiny"]
+    names = gen_cli.main(["--save_dir", str(out_a)] + args)
+    assert len(names) == 2
+    ims = [Image.open(out_a / n) for n in names]
+    assert all(im.size == ims[0].size and im.size[0] >= 32 for im in ims)
+
+    gen_cli.main(["--save_dir", str(out_b)] + args)
+    for n in names:
+        assert (out_a / n).read_bytes() == (out_b / n).read_bytes()
