@@ -128,11 +128,14 @@ def main():
         marginal("convnext", ConvStack, fresh)
         marginal("cross_attn", CrossStack, fresh_cross)
 
-    # detail-branch totals at the flagship block counts (one direction)
-    sw = result["ms_per_block"].get("swin_pallas", 0.0)
-    result["extrapolated_branch_ms"] = round(
-        16 * sw + 10 * result["ms_per_block"].get("convnext", 0.0)
-        + 5 * result["ms_per_block"].get("cross_attn", 0.0), 1)
+    # detail-branch totals at the flagship block counts (one direction);
+    # only meaningful when every term was measured — a --swin-only run
+    # would otherwise print a ~40% underestimate with no marker
+    if not args.swin_only:
+        result["extrapolated_branch_ms"] = round(
+            16 * result["ms_per_block"]["swin_pallas"]
+            + 10 * result["ms_per_block"]["convnext"]
+            + 5 * result["ms_per_block"]["cross_attn"], 1)
     print(json.dumps(result, indent=1))
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=1))

@@ -43,9 +43,17 @@ def build_index_from_c2df_dir(c2df_dir, index_dir) -> int:
 
 def ensure_images_count(image_dir, desired: int, auto_download: bool = False,
                         download_dir=None, size: str = "512x512", seed=None,
-                        timeout: int = 20) -> None:
-    """Fill an image-dir shortfall from Picsum (reference: build.py:160-172)."""
-    have = len(list_images(image_dir)) if Path(image_dir).exists() else 0
+                        timeout: int = 20, exts=None) -> None:
+    """Fill an image-dir shortfall from Picsum (reference: build.py:160-172).
+
+    The shortfall is counted with the SAME extension filter the caller will
+    select with (the reference counts with its default set, so an --exts
+    filter there can silently skip the download it needs)."""
+    exts = exts or (".jpg", ".jpeg", ".png", ".webp", ".bmp")
+    have = 0
+    for d in {Path(image_dir), Path(download_dir or image_dir)}:
+        if d.exists():
+            have += len(list_images(d, exts))
     if have >= desired or not auto_download:
         return
     need = desired - have
@@ -65,12 +73,17 @@ def build_index_from_image_dir(image_dir, index_dir, clip_ckpt=None,
                                download_size: str = "512x512",
                                timeout: int = 20) -> int:
     """(reference: build.py:209-240)"""
+    exts = exts or (".jpg", ".jpeg", ".png", ".webp", ".bmp")
     if desired is not None and auto_download:
         ensure_images_count(image_dir, desired, auto_download=True,
                             download_dir=download_dir, size=download_size,
-                            seed=seed, timeout=timeout)
-    paths = list_images(image_dir, exts or
-                        (".jpg", ".jpeg", ".png", ".webp", ".bmp"))
+                            seed=seed, timeout=timeout, exts=exts)
+    paths = list_images(image_dir, exts)
+    if download_dir and Path(download_dir).resolve() != \
+            Path(image_dir).resolve() and Path(download_dir).exists():
+        # a separate --download_dir must still be INDEXED, or the images
+        # just fetched to satisfy --desired would silently never be used
+        paths = sorted(set(paths) | set(list_images(download_dir, exts)))
     if not paths:
         raise FileNotFoundError(f"no images in {image_dir}")
     # --desired wins over --limit as the selection count (build.py:219-225).

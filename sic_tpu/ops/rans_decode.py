@@ -136,6 +136,32 @@ def pack_substreams(parts: Sequence[bytes], word_bucket: int = 512):
 
 # -- kernel -------------------------------------------------------------------
 
+def packed_gather_table(cdf_i32, offs, sizes):
+    """Packed gather table for the chunk-level one-hot matmul — shared by
+    the decode kernel and its encode mirror (ops/rans_encode.py), so the
+    row layout can never drift between them.
+
+    TPU matmuls truncate f32 inputs to bf16 passes, which cannot represent
+    16-bit values, so every table entry is split into two byte halves —
+    both bf16-exact — and recombined after the matmul.  Output lane layout
+    per CDF row: lanes [0, width) the quantized CDF, ``_SIZE_COL`` the row
+    length (low half only, length <= width < 256), ``_OFF_COL`` the symbol
+    offset biased by +32768 into 0..65535.  A position whose index is < 0
+    (or out of range) matches no one-hot row and gathers all-zero — length
+    0 — which IS the skip marker."""
+    ncdf, width = cdf_i32.shape
+    col128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    pad = jnp.zeros((ncdf, 128 - width), jnp.int32)
+    tbl_hi = jnp.concatenate([cdf_i32 >> 8, pad], axis=1)
+    tbl_lo = jnp.concatenate([cdf_i32 & 0xFF, pad], axis=1)
+    offs_b = offs.reshape(ncdf, 1) + 32768             # 0..65535
+    sizes_col = sizes.reshape(ncdf, 1)
+    tbl_hi = jnp.where(col128 == _OFF_COL, offs_b >> 8, tbl_hi)
+    tbl_lo = jnp.where(col128 == _OFF_COL, offs_b & 0xFF, tbl_lo)
+    tbl_lo = jnp.where(col128 == _SIZE_COL, sizes_col, tbl_lo)
+    return jnp.concatenate([tbl_hi, tbl_lo], axis=1).astype(jnp.float32)
+
+
 def _decode_kernel(idx_cm_ref, words_ref, len_ref, state_in_ref, cdf_ref,
                    sizes_ref, offs_ref, sym_ref, state_out_ref, rows_ref):
     npos = sym_ref.shape[1]
@@ -145,30 +171,11 @@ def _decode_kernel(idx_cm_ref, words_ref, len_ref, state_in_ref, cdf_ref,
     # Mosaic has no unsigned reductions: hold the words as int32 bits and
     # bitcast the selected word back to uint32.
     words_i32 = jax.lax.bitcast_convert_type(words_ref[:, :], jnp.int32)
-    # Packed gather table for the chunk-level one-hot matmul.  TPU matmuls
-    # truncate f32 inputs to bf16 passes, which cannot represent 16-bit
-    # values, so every table entry is split into two byte halves — both
-    # bf16-exact — and recombined after the matmul.  Output lane layout per
-    # CDF row: lanes [0, width) the quantized CDF, _SIZE_COL the row length
-    # (low half only, length <= width < 256), _OFF_COL the symbol offset
-    # biased by +32768 into 0..65535.  A position whose index is < 0 (or
-    # out of range) matches no one-hot row and decodes as all-zero —
-    # length 0 — which IS the skip marker.
-    col128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    cdf_i32 = cdf_ref[:, :]
-    pad = jnp.zeros((ncdf, 128 - width), jnp.int32)
-    tbl_hi = jnp.concatenate([cdf_i32 >> 8, pad], axis=1)
-    tbl_lo = jnp.concatenate([cdf_i32 & 0xFF, pad], axis=1)
-    offs_b = offs_ref[0, :].reshape(ncdf, 1) + 32768   # 0..65535
-    sizes_col = sizes_ref[0, :].reshape(ncdf, 1)
-    tbl_hi = jnp.where(col128 == _OFF_COL, offs_b >> 8, tbl_hi)
-    tbl_lo = jnp.where(col128 == _OFF_COL, offs_b & 0xFF, tbl_lo)
-    tbl_lo = jnp.where(col128 == _SIZE_COL, sizes_col, tbl_lo)
-    tbl = jnp.concatenate([tbl_hi, tbl_lo], axis=1).astype(jnp.float32)
+    tbl = packed_gather_table(cdf_ref[:, :], offs_ref[0, :], sizes_ref[0, :])
     lengths = len_ref[:, :]                            # (8, 1) int32
 
     word_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nwords), 1)
-    col_ids = col128                                   # scans: width <= 126
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)  # width <= 126
     cdf_ids_f = jax.lax.broadcasted_iota(
         jnp.int32, (_CHUNK * _LANES, ncdf), 1)
     zero8 = jnp.zeros((_LANES, 1), jnp.uint32)

@@ -69,8 +69,9 @@ _LANES = 8    # substreams encoded in lockstep per kernel program
 _CHUNK = 128  # positions walked per statically-addressed plane chunk
 _MAX_CHUNKS = 8    # bypass chunks: raw_val < 2^16 (see module docstring)
 _MAX_COUNT = 2     # saturating count entries: n_bypass <= 8 -> nsat <= 2
-_SIZE_COL = 126    # packed-row lane holding the CDF row length (0 = skip)
-_OFF_COL = 127     # packed-row lane holding the +32768-biased offset
+# packed-row layout constants and the table builder are SHARED with the
+# decode kernel — one definition, no encoder/decoder drift possible
+from .rans_decode import _OFF_COL, _SIZE_COL, packed_gather_table  # noqa: E402
 
 
 def _encode_kernel(sym_cm_ref, idx_cm_ref, cdf_ref, sizes_ref, offs_ref,
@@ -84,23 +85,13 @@ def _encode_kernel(sym_cm_ref, idx_cm_ref, cdf_ref, sizes_ref, offs_ref,
     """
     npos = idx_cm_ref.shape[1] * _CHUNK
     nwords = words_in_ref.shape[1]
-    ncdf, width = cdf_ref.shape
+    ncdf = cdf_ref.shape[0]
     cap = jnp.uint32(nwords * 4)
 
-    # Packed gather table, identical layout to the decoder's: one one-hot
-    # matmul per chunk fetches each position's CDF row + length + biased
-    # offset (byte-split halves are bf16-exact; see rans_decode.py).
+    # Packed gather table, shared with the decoder so the row layout can
+    # never drift between the two kernels (rans_decode.packed_gather_table).
     col128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    cdf_i32 = cdf_ref[:, :]
-    pad = jnp.zeros((ncdf, 128 - width), jnp.int32)
-    tbl_hi = jnp.concatenate([cdf_i32 >> 8, pad], axis=1)
-    tbl_lo = jnp.concatenate([cdf_i32 & 0xFF, pad], axis=1)
-    offs_b = offs_ref[0, :].reshape(ncdf, 1) + 32768   # 0..65535
-    sizes_col = sizes_ref[0, :].reshape(ncdf, 1)
-    tbl_hi = jnp.where(col128 == _OFF_COL, offs_b >> 8, tbl_hi)
-    tbl_lo = jnp.where(col128 == _OFF_COL, offs_b & 0xFF, tbl_lo)
-    tbl_lo = jnp.where(col128 == _SIZE_COL, sizes_col, tbl_lo)
-    tbl = jnp.concatenate([tbl_hi, tbl_lo], axis=1).astype(jnp.float32)
+    tbl = packed_gather_table(cdf_ref[:, :], offs_ref[0, :], sizes_ref[0, :])
 
     word_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nwords), 1)
     cdf_ids_f = jax.lax.broadcasted_iota(

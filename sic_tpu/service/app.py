@@ -83,7 +83,7 @@ class ServiceState:
 
     def __init__(self, base_config=None, ckpt_path=None, index_dir=None,
                  media_root=None, preview_cache=None, clip_ckpt=None,
-                 static_dir=None, work_dir=None):
+                 static_dir=None):
         self.base_config = base_config or os.getenv("BASE_CONFIG") or None
         self.ckpt_path = ckpt_path or os.getenv("CKPT_PATH") or None
         self.clip_ckpt = clip_ckpt or os.getenv("CLIP_CKPT") or None
@@ -93,7 +93,6 @@ class ServiceState:
                                   or os.getenv("PREVIEW_CACHE", "./cache/previews")).resolve()
         self.preview_cache.mkdir(parents=True, exist_ok=True)
         self.static_dir = Path(static_dir or Path(__file__).parent / "static")
-        self.work_dir = Path(work_dir or "./tmp").resolve()
         self._lock = threading.Lock()
         self._rt = None
         self._clip = None

@@ -146,3 +146,38 @@ def test_generate_cli(tmp_path):
     gen_cli.main(["--save_dir", str(out_b)] + args)
     for n in names:
         assert (out_a / n).read_bytes() == (out_b / n).read_bytes()
+
+
+def test_build_images_indexes_download_dir(tmp_path, monkeypatch):
+    """A separate --download_dir must be part of the indexed corpus —
+    otherwise images fetched to satisfy --desired are never used."""
+    from sic_tpu.cli import build as build_cli
+    from sic_tpu.retrieval import VectorIndex
+
+    rng = np.random.default_rng(2)
+    from PIL import Image
+    dirs = {"a": tmp_path / "a", "b": tmp_path / "b"}
+    for j, (tag, d) in enumerate(dirs.items()):
+        d.mkdir()
+        for i in range(2 + j):
+            arr = (rng.uniform(size=(16, 16, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{tag}{i}.png")
+
+    class _StubCodec:
+        model_id = "m"
+
+        class spec:
+            embed_dim = 4
+
+        def images_to_unit_vecs(self, batch):
+            v = rng.standard_normal((batch.shape[0], 4)).astype(np.float32)
+            return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    monkeypatch.setattr(build_cli, "load_clip_codec",
+                        lambda *a, **k: _StubCodec())
+    idx_dir = tmp_path / "idx"
+    build_cli.main(["build-images", "--image_dir", str(dirs["a"]),
+                    "--index_dir", str(idx_dir),
+                    "--download_dir", str(dirs["b"])])
+    index, _ = VectorIndex.load(idx_dir)
+    assert index.ntotal == 5  # 2 from image_dir + 3 from download_dir

@@ -77,8 +77,7 @@ def test_service_rejects_bad_c2df_upload():
     import tempfile
     with tempfile.TemporaryDirectory() as root:
         state = ServiceState(base_config=FIXTURE_CFG, index_dir=root,
-                             media_root=root, preview_cache=root + "/p",
-                             work_dir=root + "/tmp")
+                             media_root=root, preview_cache=root + "/p")
         srv = make_server(state, host="127.0.0.1", port=0)
         port = srv.server_address[1]
         threading.Thread(target=srv.serve_forever, daemon=True).start()

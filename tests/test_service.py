@@ -29,8 +29,7 @@ def server(tmp_path_factory):
     from sic_tpu.service import ServiceState, make_server
     root = tmp_path_factory.mktemp("svc")
     state = ServiceState(base_config=FIXTURE_CFG, index_dir=root / "faiss",
-                         media_root=root, preview_cache=root / "previews",
-                         work_dir=root / "tmp")
+                         media_root=root, preview_cache=root / "previews")
     srv = make_server(state, host="127.0.0.1", port=0)
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
