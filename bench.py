@@ -67,13 +67,15 @@ def build(stream_part: int = 4):
 
 
 def measure_rtt(n: int = 10) -> float:
-    """Median host<->device round trip for a tiny transfer (ms)."""
+    """Median host<->device round trip for a tiny transfer (ms).  Each
+    iteration computes something FRESH — the dev tunnel memoizes repeated
+    identical computations, which would understate the real RTT."""
     x = jnp.zeros((4,), jnp.float32)
-    jax.block_until_ready(x)
+    jax.device_get(x + 1.0)                     # warm
     ts = []
-    for _ in range(n):
+    for i in range(n):
         t0 = time.perf_counter()
-        jax.device_get(x + 1.0)
+        jax.device_get(x + float(i + 2))
         ts.append((time.perf_counter() - t0) * 1000.0)
     return statistics.median(ts)
 
@@ -315,6 +317,13 @@ def _main(argv):
     result.update(stages)
     print("# bench: pipelines done", flush=True)
     result["rtt_ms"] = round(measure_rtt(), 2)
+    if result["rtt_ms"] > 40.0:
+        # the dev tunnel's healthy RTT is ~26-28 ms (BENCH_r02/r03 history);
+        # when it is congested every RTT-bound number below inflates with
+        # it — stamp that so a bad-tunnel run is self-describing
+        result["rtt_note"] = (
+            "tunnel congested (healthy ~26-28 ms): single-request "
+            "latencies and QPS are RTT-bound and inflated accordingly")
     result["total_bpp"] = round(bpp["total_bpp"], 5)
 
     # single-request decode latency.  With >= 4 substreams decode_only's
