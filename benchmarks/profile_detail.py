@@ -35,7 +35,7 @@ def main():
 
     from sic_tpu.models.convnext import ConvNeXtBlock
     from sic_tpu.models.cross import InteractiveCrossAttn
-    from sic_tpu.models.swin import SwinBlock, SwinStack
+    from sic_tpu.models.swin import SwinBlock
 
     dev = jax.devices()[0]
     peak = 197e12 if dev.platform == "tpu" else None

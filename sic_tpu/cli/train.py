@@ -81,7 +81,7 @@ def main(argv=None):
 
     from ..config import (flagship_spec, load_config, qp_strategy, tiny_spec)
     from ..data import ImageDataset
-    from ..train import (FeatLossCfg, ImgLossCfg, Trainer, TrainingStrategy,
+    from ..train import (FeatLossCfg, ImgLossCfg, Trainer,
                          create_train_state, load_checkpoint)
 
     if args.base_config:

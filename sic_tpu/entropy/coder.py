@@ -8,7 +8,6 @@ interoperate (reference: src/entropy/entropy_models.py:32-94).
 from __future__ import annotations
 
 import ctypes
-from typing import Optional
 
 import numpy as np
 

@@ -52,7 +52,7 @@ back to the host coder, exactly like a buffer overflow.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -462,7 +462,6 @@ def make_handler(state: ServiceState):
 
             def q_fn():
                 if kind == "c2df":
-                    from ..cli.search import encode_c2df_query
                     from ..container import unpack_c2df
                     from ..retrieval import decode_clip_stream
                     enc, _ = unpack_c2df(data)
