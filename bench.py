@@ -279,6 +279,27 @@ def encode_latency(rt, reps: int = LAT_REPS):
     return ts[len(ts) // 2]
 
 
+def _device_reachable(timeout_s: float = 180.0) -> bool:
+    """One tiny transfer on a watchdog thread.  The tunnel to the chip can
+    go fully dead (observed 2026-08-19: transfers hang forever, not just
+    slow) — without this check an unattended bench would hang past the
+    driver's timeout and record NOTHING instead of a self-describing line."""
+    import threading
+    ok = []
+
+    def probe():
+        try:
+            jax.device_get(jnp.zeros((4,), jnp.float32) + 1.0)
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     """Unattended-run safety: if the full pipeline dies (e.g. a Pallas
     kernel regression on the real chip), retry ONCE with every optional
@@ -286,6 +307,15 @@ def main():
     driver still records a data point; the JSON then carries
     ``fallback_mode`` so the regression is visible."""
     import sys
+    if "--cpu-baseline" not in sys.argv and not _device_reachable():
+        print(json.dumps({
+            "metric": "512px_encode_decode_throughput", "value": 0.0,
+            "unit": "img/s", "vs_baseline": 0.0,
+            "error": "device unreachable: a tiny host<->device transfer "
+                     "did not complete in 180 s (tunnel down) — see the "
+                     "last committed BENCH_LOCAL_*.json for healthy-link "
+                     "numbers and provenance"}))
+        return
     try:
         _main(sys.argv)
     except Exception as e:
