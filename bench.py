@@ -191,6 +191,7 @@ def run(rt):
     import sys
 
     def note(msg):
+        _beat()
         print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
     note("warming batched encode")
@@ -279,6 +280,47 @@ def encode_latency(rt, reps: int = LAT_REPS):
     return ts[len(ts) // 2]
 
 
+class _Watchdog:
+    """Stall guard for unattended runs on a flaky tunnel: the reachability
+    probe can succeed and the link die a minute later, leaving a jax call
+    hung forever inside the runtime.  Each stage print beats the watchdog;
+    if no beat lands for ``limit_s`` the run emits a self-describing error
+    JSON and hard-exits (a hung C++ call cannot be unwound from Python).
+    25 min is ~2.5x the longest observed healthy stage gap (cold-cache
+    build + warmup)."""
+
+    def __init__(self, limit_s: float = 1500.0):
+        import threading
+        self.limit_s = limit_s
+        self._t = time.monotonic()
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def beat(self):
+        self._t = time.monotonic()
+
+    def _loop(self):
+        while True:
+            time.sleep(30)
+            stalled = time.monotonic() - self._t
+            if stalled > self.limit_s:
+                print(json.dumps({
+                    "metric": "512px_encode_decode_throughput",
+                    "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+                    "error": f"stalled {int(stalled)} s inside a device "
+                             "call (tunnel died mid-run) — see the last "
+                             "committed BENCH_LOCAL_*.json for "
+                             "healthy-link numbers"}), flush=True)
+                os._exit(0)
+
+
+_WATCHDOG = None
+
+
+def _beat():
+    if _WATCHDOG is not None:
+        _WATCHDOG.beat()
+
+
 def _device_reachable(timeout_s: float = 180.0) -> bool:
     """One tiny transfer on a watchdog thread.  The tunnel to the chip can
     go fully dead (observed 2026-08-19: transfers hang forever, not just
@@ -307,6 +349,7 @@ def main():
     driver still records a data point; the JSON then carries
     ``fallback_mode`` so the regression is visible."""
     import sys
+    global _WATCHDOG
     if "--cpu-baseline" not in sys.argv and not _device_reachable():
         print(json.dumps({
             "metric": "512px_encode_decode_throughput", "value": 0.0,
@@ -315,7 +358,13 @@ def main():
                      "did not complete in 180 s (tunnel down) — see the "
                      "last committed BENCH_LOCAL_*.json for healthy-link "
                      "numbers and provenance"}))
-        return
+        sys.stdout.flush()
+        # the probe thread is still blocked inside the runtime; normal
+        # interpreter teardown aborts on it (observed SIGABRT, rc=134) —
+        # the JSON is out, leave without running destructors
+        os._exit(0)
+    if "--cpu-baseline" not in sys.argv:
+        _WATCHDOG = _Watchdog()
     try:
         _main(sys.argv)
     except Exception as e:
@@ -345,6 +394,7 @@ def _main(argv):
         "vs_baseline": round(img_s / CPU_BASELINE_IMG_S, 2),
     }
     result.update(stages)
+    _beat()
     print("# bench: pipelines done", flush=True)
     result["rtt_ms"] = round(measure_rtt(), 2)
     if result["rtt_ms"] > 40.0:
@@ -427,6 +477,7 @@ def _main(argv):
     else:
         result["device_rans_check"] = "skipped_not_tpu"
 
+    _beat()
     print("# bench: latency done", flush=True)
     flops = compiled_flops(rt, rt.params, jnp.zeros((1, SIZE, SIZE, 3)))
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind.lower(), 197e12)
@@ -445,6 +496,7 @@ def _main(argv):
             result.update(kernel_check())
         except Exception as e:  # record, don't crash (unattended runs)
             result["kernel_check"] = f"FAIL: {type(e).__name__}: {e}"[:300]
+    _beat()
     print("# bench: measuring search QPS", file=sys.stderr, flush=True)
     try:
         from benchmarks.search_qps import measure as _search_qps
