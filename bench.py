@@ -80,6 +80,27 @@ def measure_rtt(n: int = 10) -> float:
     return statistics.median(ts)
 
 
+def measure_link_bw(mb: float = 32.0, reps: int = 3) -> float:
+    """Device->host bulk-fetch bandwidth (MB/s) over the tunnel.
+
+    RTT alone misses congestion: the 2026-08-19 outage kept RTT near the
+    healthy ~26-30 ms while bulk fetch throughput dropped ~25% (fetch
+    stage 622 -> 762 ms, BENCH_LOCAL_r03 vs r03c), so the headline
+    img/s moved with the LINK, not the code.  Each rep fetches a fresh
+    device-computed buffer (the tunnel memoizes identical transfers)."""
+    n = int(mb * 1024 * 1024) // 4
+    x = jax.block_until_ready(
+        jax.random.uniform(jax.random.PRNGKey(7), (n,), jnp.float32))
+    np.asarray(x[:8])                           # warm the fetch path
+    best = float("inf")
+    for i in range(reps):
+        y = jax.block_until_ready(x + float(i + 1))
+        t0 = time.perf_counter()
+        np.asarray(y)
+        best = min(best, time.perf_counter() - t0)
+    return mb / best
+
+
 def kernel_check() -> dict:
     """Pallas window_attention vs the XLA reference path, on device.
 
@@ -404,6 +425,15 @@ def _main(argv):
         result["rtt_note"] = (
             "tunnel congested (healthy ~26-28 ms): single-request "
             "latencies and QPS are RTT-bound and inflated accordingly")
+    result["link_mb_s"] = round(measure_link_bw(), 1)
+    if result["link_mb_s"] < 40.0:
+        # healthy bulk fetch is ~50 MB/s over this tunnel; the 08-19
+        # outage dropped it ~25% while RTT stayed normal, so bandwidth
+        # needs its own stamp (fetch + host-rANS stages scale with it)
+        result["link_note"] = (
+            "bulk-fetch bandwidth degraded (healthy ~50 MB/s): the "
+            "fetch and host-rANS stages, and so the headline img/s, "
+            "are link-bound and deflated accordingly")
     result["total_bpp"] = round(bpp["total_bpp"], 5)
 
     # single-request decode latency.  With >= 4 substreams decode_only's
