@@ -371,14 +371,31 @@ def main():
     ``fallback_mode`` so the regression is visible."""
     import sys
     global _WATCHDOG
-    if "--cpu-baseline" not in sys.argv and not _device_reachable():
+    attempt0 = int(os.environ.get("SIC_BENCH_PROBE_ATTEMPT", "0"))
+    if "--cpu-baseline" not in sys.argv and not _device_reachable(
+            90.0 if attempt0 else 180.0):
+        # The tunnel FLAPS (observed 2026-08-19: dead for a few minutes,
+        # then healthy again) — don't give up on the first failed probe.
+        # A wedged runtime connection cannot be recovered in-process, so
+        # wait and re-exec a FRESH interpreter on the same argv, up to
+        # ~6 attempts (~18 min worst case, still under driver timeouts).
+        attempt = attempt0
+        if attempt < 6:
+            print(f"# bench: device unreachable (attempt {attempt + 1}/6),"
+                  " waiting 60 s for tunnel recovery",
+                  file=sys.stderr, flush=True)
+            time.sleep(60)
+            os.environ["SIC_BENCH_PROBE_ATTEMPT"] = str(attempt + 1)
+            sys.stdout.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
         print(json.dumps({
             "metric": "512px_encode_decode_throughput", "value": 0.0,
             "unit": "img/s", "vs_baseline": 0.0,
             "error": "device unreachable: a tiny host<->device transfer "
-                     "did not complete in 180 s (tunnel down) — see the "
-                     "last committed BENCH_LOCAL_*.json for healthy-link "
-                     "numbers and provenance"}))
+                     "did not complete across 7 probes over ~18 min "
+                     "(tunnel down) — see the last committed "
+                     "BENCH_LOCAL_*.json for healthy-link numbers and "
+                     "provenance"}))
         sys.stdout.flush()
         # the probe thread is still blocked inside the runtime; normal
         # interpreter teardown aborts on it (observed SIGABRT, rc=134) —
