@@ -13,9 +13,15 @@ Axes:
   axis is sharded, GSPMD halo-exchanges the convs, and the folded
   ``(B*nH*nW)`` ViT tile-batch axis inherits the sharding.  This is the
   workload's natural "long-context" axis (SURVEY.md §2.6).
+- ``model`` — Megatron-style tensor parallelism over the transformer weights
+  (``tp_sharding``): qkv/up projections column-parallel, out/down
+  projections row-parallel; composes with FSDP over ``data`` on a 3D mesh.
+  (No ``expert`` axis: the model zoo has no MoE layers.)
 """
-from .mesh import (batch_sharding, fsdp_sharding, image_sharding, make_mesh,
-                   replicated, shard_batch, shard_state, shard_state_fsdp)
+from .mesh import (DEFAULT_TP_RULES, batch_sharding, fsdp_sharding,
+                   image_sharding, make_mesh, replicated, shard_batch,
+                   shard_state, shard_state_fsdp, shard_state_tp, tp_sharding)
 
-__all__ = ["batch_sharding", "fsdp_sharding", "image_sharding", "make_mesh",
-           "replicated", "shard_batch", "shard_state", "shard_state_fsdp"]
+__all__ = ["DEFAULT_TP_RULES", "batch_sharding", "fsdp_sharding",
+           "image_sharding", "make_mesh", "replicated", "shard_batch",
+           "shard_state", "shard_state_fsdp", "shard_state_tp", "tp_sharding"]

@@ -66,6 +66,66 @@ def test_prefetch_preserves_order():
     assert items == list(range(20))
 
 
+def test_tp_sharding_specs():
+    """Rule matching: qkv/up kernels column-parallel, out/down row-parallel,
+    unmatched and non-divisible leaves replicated; FSDP fallback composes."""
+    from sic_tpu.parallel import tp_sharding
+    P = jax.sharding.PartitionSpec
+    mesh = make_mesh(shape=(2, 2, 2), axis_names=("data", "model", "tile"))
+    tree = {"blocks_0": {"attn": {"in_proj": {"kernel": jnp.zeros((8, 24)),
+                                              "bias": jnp.zeros((24,))},
+                                  "out_proj": {"kernel": jnp.zeros((8, 8)),
+                                               "bias": jnp.zeros((8,))}},
+                         "mlp": {"c_fc": {"kernel": jnp.zeros((8, 32))},
+                                 "c_proj": {"kernel": jnp.zeros((32, 8))}}},
+            "swin": {"to_qkv": {"kernel": jnp.zeros((8, 24))},
+                     "mlp_fc2": {"kernel": jnp.zeros((33, 8))}},  # 33 % 2 != 0
+            "conv": {"kernel": jnp.zeros((3, 3, 8, 16))}}
+    specs = tp_sharding(tree, mesh)
+    a = specs["blocks_0"]["attn"]
+    assert a["in_proj"]["kernel"].spec == P(None, "model")
+    assert a["in_proj"]["bias"].spec == P("model")
+    assert a["out_proj"]["kernel"].spec == P("model", None)
+    assert a["out_proj"]["bias"].spec == P()          # row-parallel bias stays whole
+    assert specs["blocks_0"]["mlp"]["c_fc"]["kernel"].spec == P(None, "model")
+    assert specs["swin"]["to_qkv"]["kernel"].spec == P(None, "model")
+    assert specs["swin"]["mlp_fc2"]["kernel"].spec == P()   # not divisible
+    assert specs["conv"]["kernel"].spec == P()              # no rule
+
+    # + FSDP fallback: matched leaves get data on a free dim, unmatched
+    # leaves get the plain FSDP split
+    specs = tp_sharding(tree, mesh, fsdp_axis="data", min_size=1)
+    assert specs["blocks_0"]["attn"]["in_proj"]["kernel"].spec == P("data", "model")
+    assert "data" in tuple(specs["conv"]["kernel"].spec)
+
+
+def test_tp_forward_matches_replicated(tmp_path):
+    """The tiny codec forward under 2-way tensor parallelism (on a 3D
+    data x model x tile mesh) must match the replicated result — GSPMD
+    inserts the row-parallel all-reduces, the math is unchanged."""
+    from sic_tpu.models import init_codec
+    from sic_tpu.parallel import shard_state_tp
+    from tests.test_codec_e2e import TINY
+
+    model, params = init_codec(TINY, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 256, 512, 3),
+                           minval=-1.0, maxval=1.0)
+
+    @jax.jit
+    def fwd(p, x):
+        out = model.apply(p, x, need_full_decode=True)
+        return out["x_hat"], out["bpp_loss"]
+
+    ref_xh, ref_bpp = jax.tree.map(np.asarray, fwd(params, x))
+
+    mesh = make_mesh(shape=(2, 2, 2), axis_names=("data", "model", "tile"))
+    xs = shard_batch(x, mesh)
+    ps = shard_state_tp(params, mesh)
+    tp_xh, tp_bpp = jax.tree.map(np.asarray, fwd(ps, xs))
+    np.testing.assert_allclose(tp_bpp, ref_bpp, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(tp_xh, ref_xh, rtol=2e-4, atol=2e-4)
+
+
 def test_fsdp_sharding_specs():
     from sic_tpu.parallel import fsdp_sharding
     mesh = make_mesh(shape=(4, 2))
