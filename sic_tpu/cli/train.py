@@ -69,6 +69,16 @@ def main(argv=None):
     ap.add_argument("--coordinator", type=str, default=None,
                     help="host:port of process 0 "
                          "(default: MASTER_ADDR:MASTER_PORT env)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways over local devices "
+                         "(Megatron column/row sharding of the ViT/Swin "
+                         "blocks; parallel.tp_sharding)")
+    ap.add_argument("--tile", type=int, default=1,
+                    help="spatial-parallel ways: image width sharded over "
+                         "a 'tile' mesh axis (conv halos via GSPMD)")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="ZeRO-shard params + optimizer state over the "
+                         "data axis (all-gather on use)")
     args = ap.parse_args(argv)
 
     # multi-host DP: one global mesh over every process's devices; batches
@@ -150,6 +160,40 @@ def main(argv=None):
             tb_log(d)
 
     globalize = lambda b: b
+    if args.tp > 1 or args.tile > 1 or args.fsdp:
+        # single-process mesh parallelism: TP over 'model', spatial over
+        # 'tile', remaining devices on 'data'; optional ZeRO over 'data'.
+        if world > 1:
+            ap.error("--tp/--tile/--fsdp are single-process mesh knobs; "
+                     "combine multi-host runs with DP only")
+        import os
+        n_local = len(jax.devices())
+        ways = args.tp * args.tile
+        if n_local % ways:
+            ap.error(f"{n_local} devices not divisible by tp*tile={ways}")
+        if args.tp > 1 and os.environ.get("SIC_SEQ_ATTN", "pallas") == "pallas":
+            # the fused attention kernel wants whole heads per device; the
+            # XLA einsum path partitions cleanly under GSPMD
+            os.environ["SIC_SEQ_ATTN"] = "xla"
+            print("[train] --tp: SIC_SEQ_ATTN=xla (GSPMD-partitionable "
+                  "attention)", file=sys.stderr)
+        from ..parallel import (make_mesh, shard_batch, shard_state,
+                                shard_state_fsdp, shard_state_tp)
+        mesh = make_mesh(shape=(n_local // ways, args.tp, args.tile),
+                         axis_names=("data", "model", "tile"))
+        if args.batch_size % mesh.shape["data"]:
+            ap.error(f"--batch_size {args.batch_size} must divide by the "
+                     f"data-axis size {mesh.shape['data']}")
+        if args.tp > 1:
+            state = shard_state_tp(
+                state, mesh, fsdp_axis="data" if args.fsdp else None)
+        elif args.fsdp:
+            state = shard_state_fsdp(state, mesh)
+        else:
+            state = shard_state(state, mesh)
+        print(f"[train] mesh {dict(mesh.shape)}"
+              + (" + ZeRO over data" if args.fsdp else ""), file=sys.stderr)
+        globalize = lambda b: shard_batch(jnp.asarray(b), mesh)
     if world > 1:
         import numpy as np
         from jax.experimental import multihost_utils

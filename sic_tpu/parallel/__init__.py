@@ -17,11 +17,16 @@ Axes:
   (``tp_sharding``): qkv/up projections column-parallel, out/down
   projections row-parallel; composes with FSDP over ``data`` on a 3D mesh.
   (No ``expert`` axis: the model zoo has no MoE layers.)
+- ``pipe`` — GPipe pipeline parallelism over homogeneous ViT trunks
+  (``pipeline.spmd_pipeline``): per-layer params stacked and sharded by
+  stage, microbatches ride a ``ppermute`` ring.
 """
 from .mesh import (DEFAULT_TP_RULES, batch_sharding, fsdp_sharding,
                    image_sharding, make_mesh, replicated, shard_batch,
                    shard_state, shard_state_fsdp, shard_state_tp, tp_sharding)
+from .pipeline import pipeline_vit_trunk, spmd_pipeline, stack_trunk
 
 __all__ = ["DEFAULT_TP_RULES", "batch_sharding", "fsdp_sharding",
-           "image_sharding", "make_mesh", "replicated", "shard_batch",
-           "shard_state", "shard_state_fsdp", "shard_state_tp", "tp_sharding"]
+           "image_sharding", "make_mesh", "pipeline_vit_trunk", "replicated",
+           "shard_batch", "shard_state", "shard_state_fsdp", "shard_state_tp",
+           "spmd_pipeline", "stack_trunk", "tp_sharding"]

@@ -1,0 +1,166 @@
+"""GPipe-style pipeline parallelism over homogeneous transformer trunks.
+
+TPU-first design: the trunk's per-layer params are stacked on a leading
+layer axis and sharded over a ``pipe`` mesh axis; ``jax.shard_map`` runs
+the classic GPipe schedule — at every step each stage applies its local
+layer shard to its current microbatch and ``ppermute``s the activation one
+hop down the ring, so inter-stage traffic is ICI-neighbour-only and the
+bubble is the textbook ``(P-1)/(P-1+M)``.  The whole schedule is a
+``lax.scan`` of ``ppermute`` + ``where`` — fully differentiable, so the
+same primitive serves training (grads flow back through the reverse ring).
+
+Targets the repo's homogeneous ViT trunks (TiTok encoder/decoder
+``transformer_{i}``, CLIP towers, MaskGIT ImageBert): ``stack_trunk``
+lifts their per-layer param subtrees into one stacked pytree, and
+``pipeline_vit_trunk`` runs a trunk under ``ResidualAttentionBlock``
+semantics.  Composes with data parallelism on a ``(data, pipe)`` mesh
+(each data slice runs an independent pipeline) and is orthogonal to the
+``model``-axis tensor parallelism in :mod:`.mesh`.
+
+Reference counterpart: none — the reference is single-GPU torch
+(src/compress.py drives one device end to end); this subsystem exists for
+the TPU mesh scaling story (SURVEY.md §2.6).
+"""
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def stack_trunk(params, prefix: str = "transformer_"):
+    """Lift ``params[f"{prefix}{i}"]`` for consecutive ``i`` starting at 0
+    into one pytree whose leaves gain a leading layer axis.
+
+    Returns ``(stacked, n_layers)``.  The per-layer subtrees must be
+    structurally identical (true for every trunk in the model zoo).
+    """
+    pat = re.compile(re.escape(prefix) + r"(\d+)$")
+    found = {}
+    for k in params:
+        m = pat.match(k)
+        if m:
+            found[int(m.group(1))] = params[k]
+    n = len(found)
+    assert n > 0, f"no '{prefix}<i>' subtrees in params"
+    assert sorted(found) == list(range(n)), sorted(found)
+    layers = [found[i] for i in range(n)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+    return stacked, n
+
+
+def spmd_pipeline(apply_block: Callable,
+                  stacked_params,
+                  x,
+                  mesh: Mesh,
+                  axis: str = "pipe",
+                  batch_axis: Optional[str] = None,
+                  n_microbatch: Optional[int] = None):
+    """Run ``x`` through a stack of layers under GPipe pipeline parallelism.
+
+    Args:
+      apply_block: ``(layer_params, act) -> act`` pure single-layer apply.
+      stacked_params: pytree with leading layer axis ``L`` on every leaf
+        (from :func:`stack_trunk`); ``L`` must divide by ``mesh.shape[axis]``
+        and layers are assigned to stages in order (stage p owns layers
+        ``[p*L/P, (p+1)*L/P)``).
+      x: ``(B, ...)`` activations.  ``B`` is split into ``n_microbatch``
+        equal microbatches (default: one per stage).
+      mesh / axis: the pipeline mesh axis.
+      batch_axis: optional mesh axis the batch dim is additionally sharded
+        over (data parallelism); each data slice pipelines independently.
+      n_microbatch: microbatch count ``M``; bubble fraction is
+        ``(P-1)/(P-1+M)``.
+
+    Returns ``(B, ...)`` output, replicated over ``axis`` (the last stage's
+    result is broadcast back via a masked ``psum`` so callers see ordinary
+    data-sharded activations).
+    """
+    n_stages = mesh.shape[axis]
+    if n_microbatch is None:
+        n_microbatch = n_stages
+    B = x.shape[0]
+    assert B % n_microbatch == 0, (B, n_microbatch)
+    L = jax.tree.leaves(stacked_params)[0].shape[0]
+    assert L % n_stages == 0, (L, n_stages)
+
+    mbs = x.reshape((n_microbatch, B // n_microbatch) + x.shape[1:])
+
+    param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
+    mb_spec = P(None, batch_axis) if batch_axis else P()
+
+    def stage_fn(local_params, mbs_local):
+        # local_params leaves: (L/P, ...); mbs_local: (M, mb[/data], ...)
+        stage = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def local_apply(act):
+            def body(a, p):
+                return apply_block(p, a), None
+            act, _ = jax.lax.scan(body, act, local_params)
+            return act
+
+        # the loop body is pipe-varying (axis_index, ppermute); mark the
+        # initial carry to match so scan's carry types line up
+        zeros = jax.lax.pcast(jnp.zeros_like(mbs_local[0]), (axis,),
+                              to="varying")
+        outbuf = jax.lax.pcast(jnp.zeros_like(mbs_local), (axis,),
+                               to="varying")
+        n_steps = n_microbatch + n_stages - 1
+
+        def step(carry, t):
+            recv, outbuf = carry
+            rd = jnp.clip(t, 0, n_microbatch - 1)
+            inp = jnp.where(stage == 0,
+                            jax.lax.dynamic_index_in_dim(
+                                mbs_local, rd, 0, keepdims=False),
+                            recv)
+            out = local_apply(inp)
+            w = t - (n_stages - 1)
+            valid = jnp.logical_and(stage == n_stages - 1, w >= 0)
+            wclip = jnp.clip(w, 0, n_microbatch - 1)
+            written = jax.lax.dynamic_update_index_in_dim(
+                outbuf, out, wclip, 0)
+            outbuf = jnp.where(valid, written, outbuf)
+            recv = jax.lax.ppermute(out, axis, perm)
+            return (recv, outbuf), None
+
+        (_, outbuf), _ = jax.lax.scan(step, (zeros, outbuf),
+                                      jnp.arange(n_steps))
+        # broadcast the last stage's buffer to every stage so the result
+        # leaves shard_map replicated over the pipe axis
+        mask = (stage == n_stages - 1).astype(outbuf.dtype)
+        return jax.lax.psum(outbuf * mask, axis)
+
+    run = jax.shard_map(stage_fn, mesh=mesh,
+                        in_specs=(param_specs, mb_spec),
+                        out_specs=mb_spec)
+    out = run(stacked_params, mbs)
+    return out.reshape((B,) + out.shape[2:])
+
+
+def pipeline_vit_trunk(params, num_heads: int, x, mesh: Mesh,
+                       axis: str = "pipe",
+                       batch_axis: Optional[str] = None,
+                       n_microbatch: Optional[int] = None,
+                       prefix: str = "transformer_",
+                       dtype=None):
+    """Pipeline a ``ResidualAttentionBlock`` trunk from a model param tree.
+
+    ``params`` is e.g. a TiTok encoder/decoder or CLIP tower param dict
+    holding ``transformer_{i}`` subtrees; ``x`` is the ``(B, S, D)``
+    sequence after the model's pre-trunk embedding.  Equivalent to the
+    model's sequential ``for blk in self.transformer: x = blk(x)`` loop.
+    """
+    from ..models.layers import ResidualAttentionBlock
+    stacked, _ = stack_trunk(params, prefix)
+    block = ResidualAttentionBlock(num_heads, 4.0, dtype)
+
+    def apply_block(p, act):
+        return block.apply({"params": p}, act)
+
+    return spmd_pipeline(apply_block, stacked, x, mesh, axis,
+                         batch_axis, n_microbatch)

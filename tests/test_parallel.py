@@ -145,3 +145,96 @@ def test_fsdp_sharding_specs():
     ref = float(f(x))
     xs = jax.device_put(x, fsdp_sharding({"x": x}, mesh, min_size=1)["x"])
     assert float(f(xs)) == pytest.approx(ref, rel=1e-6)
+
+
+def _stacked_blocks(key, n_layers, width, num_heads):
+    """Init n identical ResidualAttentionBlocks and stack their params."""
+    from sic_tpu.models.layers import ResidualAttentionBlock
+    block = ResidualAttentionBlock(num_heads, 4.0)
+    x0 = jnp.zeros((1, 8, width))
+    layers = [block.init(k, x0)["params"]
+              for k in jax.random.split(key, n_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *layers)
+    return block, layers, stacked
+
+
+def test_spmd_pipeline_matches_sequential():
+    """4-stage GPipe over 8 ViT blocks == the sequential block loop; also
+    composes with data parallelism on a (data, pipe) mesh."""
+    from sic_tpu.parallel import spmd_pipeline
+    width, heads = 64, 2
+    block, layers, stacked = _stacked_blocks(jax.random.PRNGKey(0), 8,
+                                             width, heads)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, width))
+
+    ref = x
+    for p in layers:
+        ref = block.apply({"params": p}, ref)
+    ref = np.asarray(ref)
+
+    apply_block = lambda p, a: block.apply({"params": p}, a)
+    mesh = make_mesh(shape=(2, 4), axis_names=("data", "pipe"))
+    out = spmd_pipeline(apply_block, stacked, x, mesh, axis="pipe",
+                        batch_axis="data", n_microbatch=4)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+    # pipe-only mesh, M != P
+    mesh1 = make_mesh(shape=(8,), axis_names=("pipe",))
+    out1 = spmd_pipeline(apply_block, stacked, x, mesh1, n_microbatch=2)
+    np.testing.assert_allclose(np.asarray(out1), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_spmd_pipeline_grads_match_sequential():
+    """The pipeline is differentiable: d(loss)/d(stacked params) equals the
+    sequential trunk's grads (stacked), i.e. pp works for training."""
+    from sic_tpu.parallel import spmd_pipeline
+    width, heads = 32, 2
+    block, layers, stacked = _stacked_blocks(jax.random.PRNGKey(2), 4,
+                                             width, heads)
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, width))
+    apply_block = lambda p, a: block.apply({"params": p}, a)
+    mesh = make_mesh(shape=(4,), axis_names=("pipe",),
+                     devices=jax.devices()[:4])
+
+    def seq_loss(st):
+        a = x
+        def body(a, p):
+            return apply_block(p, a), None
+        a, _ = jax.lax.scan(body, a, st)
+        return jnp.sum(a ** 2)
+
+    def pp_loss(st):
+        return jnp.sum(spmd_pipeline(apply_block, st, x, mesh,
+                                     n_microbatch=2) ** 2)
+
+    g_ref = jax.grad(seq_loss)(stacked)
+    g_pp = jax.grad(pp_loss)(stacked)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5), g_ref, g_pp)
+
+
+def test_pipeline_vit_trunk_titok():
+    """pipeline_vit_trunk reproduces the TiTok encoder's sequential trunk
+    from the real model param tree (stack_trunk on transformer_{i})."""
+    from sic_tpu.config import TiTokSpec
+    from sic_tpu.models.titok import TiTokEncoderViT
+    from sic_tpu.parallel import pipeline_vit_trunk
+
+    s = TiTokSpec(model_size="tiny")
+    m = TiTokEncoderViT(s)
+    lat = jax.random.normal(jax.random.PRNGKey(4), (s.num_latent_tokens, s.width))
+    px = jax.random.uniform(jax.random.PRNGKey(5), (2, s.tile_px, s.tile_px, 3))
+    params = m.init(jax.random.PRNGKey(6), px, lat)["params"]
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, s.width))
+    from sic_tpu.models.layers import ResidualAttentionBlock
+    block = ResidualAttentionBlock(s.num_heads, 4.0)
+    ref = x
+    for i in range(s.num_layers):
+        ref = block.apply({"params": params[f"transformer_{i}"]}, ref)
+
+    mesh = make_mesh(shape=(s.num_layers,), axis_names=("pipe",),
+                     devices=jax.devices()[:s.num_layers])
+    out = pipeline_vit_trunk(params, s.num_heads, x, mesh, n_microbatch=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
