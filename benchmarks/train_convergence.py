@@ -276,8 +276,12 @@ def run(steps_per_epoch: int = 24, epochs=(2, 5, 3), batch: int = 2,
         "pix_psnr_improved": hist["pix_psnr"][-1] > hist["pix_psnr"][0],
         "wall_s": round(time.time() - t0, 1),
     }
-    return {k: ([_py(x) for x in v] if isinstance(v, list) else _py(v))
-            for k, v in summary.items()}
+    out = {k: ([_py(x) for x in v] if isinstance(v, list) else _py(v))
+           for k, v in summary.items()}
+    # non-JSON extras for downstream harnesses (quant_quality.py):
+    # trained params + the val set.  Callers that dump JSON must pop them.
+    out["_trained"] = (trainer.state.params, val_x)
+    return out
 
 
 def main():
@@ -289,6 +293,7 @@ def main():
     args = ap.parse_args()
     summary = run(steps_per_epoch=args.steps_per_epoch, lr=args.lr,
                   log_dir=args.log_dir)
+    summary.pop("_trained", None)
     Path(args.out).write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary))
 

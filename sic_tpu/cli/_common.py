@@ -114,13 +114,18 @@ def load_spec_and_cfg(base_config: Optional[str]):
 
 
 def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
-                 dtype=None, stream_part: Optional[int] = None):
+                 dtype=None, stream_part: Optional[int] = None,
+                 quant: Optional[str] = None):
     """Build a CodecRuntime from config + optional checkpoint.
 
     ``stream_part``: rANS substreams per stream (reference:
     py_rans.cpp:91-136).  Default 4 enables the on-device decode path and
     threaded host coding while staying reference-decodable (the flag byte
-    carries the part count); SIC_STREAM_PART overrides."""
+    carries the part count); SIC_STREAM_PART overrides.
+
+    ``quant``: ``"int8"`` serves the frozen towers W8A8 on the MXU's int8
+    path (see ops/quant.py); SIC_QUANT env overrides when unset.  Streams
+    stay decodable across modes."""
     import os
 
     import jax
@@ -142,6 +147,8 @@ def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
         # instead of 4).  Wire format stays reference-decodable (the flag
         # byte carries the part count; reference py_rans.cpp:91-136).
         stream_part = int(os.environ.get("SIC_STREAM_PART", "4"))
+    if quant is None:
+        quant = os.environ.get("SIC_QUANT", "none")
     if ckpt_path:
         params = load_codec_params(ckpt_path, cfg.spec, dtype=dtype)
     else:
@@ -149,7 +156,7 @@ def load_runtime(base_config: Optional[str], ckpt_path: Optional[str],
               file=sys.stderr)
         _, params = init_codec(cfg.spec, jax.random.PRNGKey(0), dtype=dtype)
     return CodecRuntime(cfg.spec, params, dtype=dtype,
-                        stream_part=stream_part), cfg
+                        stream_part=stream_part, quant=quant), cfg
 
 
 def load_clip_codec(clip_ckpt: Optional[str] = None,

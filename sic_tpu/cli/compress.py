@@ -152,6 +152,9 @@ def main(argv=None):
                              "coding + on-device decode; still "
                              "reference-decodable — the flag byte carries "
                              "the part count)")
+    parser.add_argument("--quant", choices=["none", "int8"],
+                        default=None,
+                        help="serve the frozen towers W8A8 int8 on the MXU (2x bf16 peak; streams stay cross-mode decodable); default: SIC_QUANT env or none")
     parser.add_argument("--world_size", type=int, default=None,
                         help="number of processes (default: WORLD_SIZE env)")
     parser.add_argument("--rank", type=int, default=None,
@@ -167,7 +170,8 @@ def main(argv=None):
 
     t0 = time.time()
     rt, _cfg = load_runtime(args.base_config, args.ckpt_path,
-                             stream_part=args.stream_part)
+                             stream_part=args.stream_part,
+                             quant=args.quant)
     clip_codec = load_clip_codec(args.clip_ckpt, args.bpe_path)
     n = compress_dir(rt, clip_codec, args.dataset_dir, args.save_dir,
                      batch_size=args.batch_size, shard=(rank, world),

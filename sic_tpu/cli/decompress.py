@@ -87,11 +87,15 @@ def main(argv=None):
                              "coding + on-device decode; still "
                              "reference-decodable — the flag byte carries "
                              "the part count)")
+    parser.add_argument("--quant", choices=["none", "int8"],
+                        default=None,
+                        help="serve the frozen towers W8A8 int8 on the MXU (2x bf16 peak; streams stay cross-mode decodable); default: SIC_QUANT env or none")
     args = parser.parse_args(argv)
 
     t0 = time.time()
     rt, _cfg = load_runtime(args.base_config, args.ckpt_path,
-                             stream_part=args.stream_part)
+                             stream_part=args.stream_part,
+                             quant=args.quant)
     n = decompress_dir(rt, args.dataset_dir, args.save_dir)
     print(f"[OK] decompressed {n} files in {time.time() - t0:.1f}s "
           f"-> {args.save_dir}", file=sys.stderr)

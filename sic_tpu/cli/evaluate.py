@@ -68,9 +68,13 @@ def main(argv=None):
                     help="LPIPS calibration heads (torch .pth)")
     ap.add_argument("--lpips_vgg", type=str, default=None,
                     help="torchvision VGG16 state dict")
+    ap.add_argument("--quant", choices=["none", "int8"], default=None,
+                    help="evaluate the int8 W8A8 serving mode's "
+                         "rate-distortion (default: SIC_QUANT env or none)")
     args = ap.parse_args(argv)
 
-    rt, _cfg = load_runtime(args.base_config, args.ckpt_path)
+    rt, _cfg = load_runtime(args.base_config, args.ckpt_path,
+                            quant=args.quant)
 
     lpips_fn = None
     if args.lpips_lin and not args.lpips_vgg:

@@ -165,7 +165,7 @@ class CodecRuntime:
 
     def __init__(self, spec: CodecSpec, params, dtype=None, stream_part: int = 1,
                  mesh=None, z_format: str = "rans",
-                 device_entropy: str = "auto"):
+                 device_entropy: str = "auto", quant: Optional[str] = None):
         """``mesh``: optional ``jax.sharding.Mesh`` — inputs get batch/tile
         sharding and params are replicated, so one process drives all chips
         (the reference's NCCL-DDP inference counterpart,
@@ -175,33 +175,50 @@ class CodecRuntime:
         (native; one coder for both streams) or ``"torchac"`` (the
         reference's exact format, codec_sq_fixbpp.py:861-864).  Decode
         always accepts either via the ``z_coder`` argument regardless of
-        this setting."""
+        this setting.
+
+        ``quant``: ``"int8"`` serves the Dense-dominated towers with W8A8
+        dynamic quantization on the MXU's int8 path (~2x bf16 peak; see
+        ``ops/quant.py``).  The autoregressive entropy path is conv-only
+        and stays float, so streams stay bit-compatible across modes —
+        an int8 decoder decodes float-encoded files and vice versa; only
+        the reconstruction differs slightly."""
+        from ..ops.quant import quantize_dense_tree, quantized
+
         self.spec = spec
         self.model = Codec(spec, dtype)
         self.mesh = mesh
+        assert quant in (None, "none", "int8"), quant
+        self.quant = None if quant in (None, "none") else quant
+        if self.quant == "int8":
+            params = quantize_dense_tree(params)
         if mesh is not None:
             from ..parallel import shard_state
             params = shard_state(params, mesh)
         self.params = params
 
         apply = self.model.apply
+        qmode = self.quant
 
         @jax.jit
         def _encode(p, x01):
-            return apply(p, x01, method=Codec.encode_stage)
+            with quantized(qmode):   # read at trace time by QDense
+                return apply(p, x01, method=Codec.encode_stage)
 
         @functools.partial(jax.jit, static_argnames=("stack_shape",))
         def _decode(p, z_indices, h_hat, stack_shape):
-            return apply(p, z_indices, h_hat, stack_shape,
-                         method=Codec.decode_stage)
+            with quantized(qmode):
+                return apply(p, z_indices, h_hat, stack_shape,
+                             method=Codec.decode_stage)
 
         @functools.partial(jax.jit, static_argnames=("stack_shape",))
         def _decode_u8(p, z_indices, h_hat, stack_shape):
             """Decode straight to uint8 pixels on device: the PNG-bound
             callers (CLI/service) never need floats, and the u8 fetch is
             4x smaller over the host link."""
-            x = apply(p, z_indices, h_hat, stack_shape,
-                      method=Codec.decode_stage)
+            with quantized(qmode):
+                x = apply(p, z_indices, h_hat, stack_shape,
+                          method=Codec.decode_stage)
             return jnp.clip((x + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)
 
         self._encode = _encode
@@ -209,6 +226,8 @@ class CodecRuntime:
         self._decode_u8 = _decode_u8
 
         # detail-stream coder over the bottleneck parameter subtree
+        # (conv-only, so quantize_dense_tree left it bit-identical — the
+        # entropy trajectory is the same in every quant mode)
         bn_params = {"params": params["params"]["hybrid_codec"]["quantize_feat"]}
         bn_module = CompressiveBottleneck(spec.feat_width, spec.quant_dim)
         self.h_coder = BottleneckCoder(bn_module, bn_params,

@@ -13,6 +13,8 @@ import flax.linen as nn
 
 from .layers import LayerNorm
 
+from ..ops.quant import QDense
+
 Dtype = Any
 
 
@@ -32,9 +34,9 @@ class ConvNeXtBlock(nn.Module):
         x = nn.Conv(in_ch, (self.kernel_size, self.kernel_size),
                     feature_group_count=in_ch, dtype=self.dtype, name="conv")(x)
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(int(in_ch * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(x)
+        x = QDense(int(in_ch * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(out_ch, dtype=self.dtype, name="mlp_fc2")(x)
+        x = QDense(out_ch, dtype=self.dtype, name="mlp_fc2")(x)
         if out_ch != in_ch:
-            identity = nn.Dense(out_ch, dtype=self.dtype, name="short")(identity)
+            identity = QDense(out_ch, dtype=self.dtype, name="short")(identity)
         return x + identity

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 from .layers import LayerNorm, ResidualAttentionBlock
 
+from ..ops.quant import QDense
+
 Dtype = Any
 
 
@@ -65,7 +67,7 @@ class InteractiveCrossAttn(nn.Module):
 
         f_pos = feat_tokens + feat_pos.astype(feat_tokens.dtype)
         t_pos = titok_tokens + titok_pos.astype(titok_tokens.dtype)
-        t_pos = nn.Dense(self.feat_width, dtype=self.dtype,
+        t_pos = QDense(self.feat_width, dtype=self.dtype,
                          name="titok_compress_proj")(t_pos)
 
         f = jnp.concatenate([t_pos, f_pos], axis=1)
@@ -77,15 +79,15 @@ class InteractiveCrossAttn(nn.Module):
 
         # detail update: LN + Linear residual
         h = LayerNorm(dtype=self.dtype, name="feat_add_ln")(f_feat_new)
-        h = nn.Dense(self.feat_width, dtype=self.dtype, name="feat_add_fc")(h)
+        h = QDense(self.feat_width, dtype=self.dtype, name="feat_add_fc")(h)
         feat_tokens = feat_tokens + h
 
         # titok update through the zero-init gate
-        g = nn.Dense(self.feat_width * 2, dtype=self.dtype,
+        g = QDense(self.feat_width * 2, dtype=self.dtype,
                      name="titok_decompress_fc")(f_titok_new)
         g = LayerNorm(dtype=self.dtype, name="titok_decompress_ln")(g)
         g = nn.silu(g)
-        g = nn.Dense(self.titok_width, kernel_init=zeros, bias_init=zeros,
+        g = QDense(self.titok_width, kernel_init=zeros, bias_init=zeros,
                      dtype=self.dtype, name="zero_add")(g)
         titok_tokens = titok_tokens + g
 

@@ -31,6 +31,8 @@ from .layers import LayerNorm, ResidualAttentionBlock, scaled_normal_init
 from .quantizer import L2VectorQuantizer
 from .swin import SwinStack
 
+from ..ops.quant import QDense
+
 Dtype = Any
 
 _VIT_SIZES = {"tiny": (128, 2, 2),  # test-scale, not in the reference table
@@ -128,10 +130,11 @@ class HybridEncoder(nn.Module):
         rab = _maybe_remat(ResidualAttentionBlock, self.remat)
         self.transformer = [rab(s.num_heads, 4.0, self.dtype) for _ in range(s.num_layers)]
         self.ln_post = LayerNorm(dtype=self.dtype)
-        self.conv_out = nn.Dense(s.token_size, dtype=self.dtype)
+        self.conv_out = QDense(s.token_size, dtype=self.dtype,
+                               sensitive=True)
 
         # detail branch
-        self.pix_emb_proj = nn.Dense(self.feat_width, dtype=self.dtype)
+        self.pix_emb_proj = QDense(self.feat_width, dtype=self.dtype)
         self.feat_in = SwinStack(self.feat_width, 4, dtype=self.dtype)
         cross = _maybe_remat(InteractiveCrossAttn, self.remat, static_argnums=(3,))
         fb = _maybe_remat(_FeatBlock, self.remat)
@@ -146,7 +149,7 @@ class HybridEncoder(nn.Module):
         self.feat_out_down = nn.Conv(self.feat_width, (2, 2), strides=2,
                                      dtype=self.dtype)
         self.feat_out_ln = LayerNorm(dtype=self.dtype)
-        self.feat_out_fc = nn.Dense(self.feat_width, dtype=self.dtype)
+        self.feat_out_fc = QDense(self.feat_width, dtype=self.dtype)
 
     def __call__(self, pixel_values, latent_tokens):
         """pixel_values: (B, H, W, 3) in [0, 1], H/W multiples of tile_px;
@@ -207,7 +210,7 @@ class HybridDecoder(nn.Module):
         s = self.spec
         scale = s.width ** -0.5
         init = scaled_normal_init(scale)
-        self.decoder_embed = nn.Dense(s.width, dtype=self.dtype)
+        self.decoder_embed = QDense(s.width, dtype=self.dtype)
         self.class_embedding = self.param("class_embedding", init, (1, s.width))
         self.positional_embedding = self.param(
             "positional_embedding", init, (s.grid_size ** 2 + 1, s.width))
@@ -284,15 +287,16 @@ class FeatMerge(nn.Module):
         titok = SwinStack(self.titok_width, 2, dtype=self.dtype, name="titok_in")(titok)
         feat = SwinStack(self.feat_width, 2, dtype=self.dtype, name="feat_in")(feat)
         h = jnp.concatenate([titok, feat], axis=-1)
-        h = nn.Dense(self.titok_width * 2, dtype=self.dtype, name="merge_fc1")(h)
+        h = QDense(self.titok_width * 2, dtype=self.dtype, name="merge_fc1")(h)
         h = LayerNorm(dtype=self.dtype, name="merge_ln")(h)
         h = nn.silu(h)
-        h = nn.Dense(self.inner_width, dtype=self.dtype, name="merge_fc2")(h)
+        h = QDense(self.inner_width, dtype=self.dtype, name="merge_fc2")(h)
         h = SwinStack(self.inner_width, 4, dtype=self.dtype, name="merge_swin")(h)
         h = LayerNorm(dtype=self.dtype, name="ffn_ln")(h)
-        h = nn.Dense(self.inner_width * 2, dtype=self.dtype, name="ffn_fc1")(h)
+        h = QDense(self.inner_width * 2, dtype=self.dtype, name="ffn_fc1")(h)
         h = jnp.tanh(h)
-        return nn.Dense(self.n_embed, dtype=self.dtype, name="ffn_fc2")(h)
+        return QDense(self.n_embed, dtype=self.dtype, name="ffn_fc2",
+                      sensitive=True)(h)
 
 
 class HybridCodec(nn.Module):

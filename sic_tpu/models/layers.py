@@ -21,6 +21,8 @@ Dtype = Any
 
 import functools
 
+from ..ops.quant import QDense
+
 # torch nn.LayerNorm parity (eps 1e-5; flax default is 1e-6)
 LayerNorm = functools.partial(nn.LayerNorm, epsilon=1e-5)
 
@@ -36,7 +38,7 @@ class MultiheadSelfAttention(nn.Module):
         assert d_model % self.num_heads == 0
         head_dim = d_model // self.num_heads
 
-        qkv = nn.Dense(3 * d_model, dtype=self.dtype, name="in_proj")(x)
+        qkv = QDense(3 * d_model, dtype=self.dtype, name="in_proj")(x)
 
         if attn_mask is None:
             # fused Pallas kernel on TPU: heads split by VMEM lane
@@ -62,7 +64,7 @@ class MultiheadSelfAttention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
             B, _, S, _ = out.shape
             out = out.transpose(0, 2, 1, 3).reshape(B, S, d_model)
-        return nn.Dense(d_model, dtype=self.dtype, name="out_proj")(out)
+        return QDense(d_model, dtype=self.dtype, name="out_proj")(out)
 
 
 class MLP(nn.Module):
@@ -73,9 +75,9 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="c_fc")(x)
+        x = QDense(self.hidden, dtype=self.dtype, name="c_fc")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(d, dtype=self.dtype, name="c_proj")(x)
+        return QDense(d, dtype=self.dtype, name="c_proj")(x)
 
 
 class ResidualAttentionBlock(nn.Module):

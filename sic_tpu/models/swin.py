@@ -18,6 +18,8 @@ import numpy as np
 
 from .layers import LayerNorm
 
+from ..ops.quant import QDense
+
 Dtype = Any
 
 
@@ -76,7 +78,7 @@ class WindowAttention(nn.Module):
             d = ws // 2
             x = jnp.roll(x, shift=(-d, -d), axis=(1, 2))
 
-        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+        qkv = QDense(inner * 3, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(x)
         nW = nwh * nww
 
@@ -100,7 +102,7 @@ class WindowAttention(nn.Module):
         # relayouts); plain-XLA einsum pipeline elsewhere
         from ..ops import window_attention_nhwc
         out = window_attention_nhwc(qkv, bias, self.head_dim ** -0.5, hds)
-        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
+        out = QDense(C, dtype=self.dtype, name="to_out")(out)
 
         if self.shifted:
             d = ws // 2
@@ -125,9 +127,9 @@ class SwinBlock(nn.Module):
                                 self.shifted, self.relative_pos_embedding,
                                 self.dtype, name="attention_block")(h)
         h = LayerNorm(dtype=self.dtype, name="norm_mlp")(x)
-        h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_fc1")(h)
+        h = QDense(self.mlp_dim, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_fc2")(h)
+        h = QDense(x.shape[-1], dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 
 

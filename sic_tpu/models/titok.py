@@ -30,6 +30,8 @@ from .layers import LayerNorm, ResidualAttentionBlock, scaled_normal_init
 from .maskgit_vqgan import MaskGITVQGANSpec, PixelDecoder, PixelQuantizer
 from .quantizer import L2VectorQuantizer
 
+from ..ops.quant import QDense
+
 Dtype = Any
 
 
@@ -73,7 +75,8 @@ class TiTokEncoderViT(nn.Module):
         self.transformer = [ResidualAttentionBlock(s.num_heads, 4.0, self.dtype)
                             for _ in range(s.num_layers)]
         self.ln_post = LayerNorm(dtype=self.dtype)
-        self.conv_out = nn.Dense(s.token_size, dtype=self.dtype)
+        self.conv_out = QDense(s.token_size, dtype=self.dtype,
+                               sensitive=True)
 
     def __call__(self, pixel_values, latent_tokens):
         """pixel_values: (B, tile, tile, 3); latent_tokens: (N, width).
@@ -113,7 +116,7 @@ class TiTokDecoderViT(nn.Module):
     def setup(self):
         s = self.spec
         init = scaled_normal_init(s.width ** -0.5)
-        self.decoder_embed = nn.Dense(s.width, dtype=self.dtype)
+        self.decoder_embed = QDense(s.width, dtype=self.dtype)
         self.class_embedding = self.param("class_embedding", init, (1, s.width))
         self.positional_embedding = self.param(
             "positional_embedding", init, (s.grid_size ** 2 + 1, s.width))
@@ -125,8 +128,8 @@ class TiTokDecoderViT(nn.Module):
         self.transformer = [ResidualAttentionBlock(s.num_heads, 4.0, self.dtype)
                             for _ in range(s.num_layers)]
         self.ln_post = LayerNorm(dtype=self.dtype)
-        self.ffn_fc1 = nn.Dense(2 * s.width, dtype=self.dtype)
-        self.ffn_fc2 = nn.Dense(self.ffn_out, dtype=self.dtype)
+        self.ffn_fc1 = QDense(2 * s.width, dtype=self.dtype)
+        self.ffn_fc2 = QDense(self.ffn_out, dtype=self.dtype)
 
     def __call__(self, z_quantized):
         """z_quantized: (B, N, token_size) -> pixel-codebook logits
