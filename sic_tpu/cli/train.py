@@ -57,6 +57,9 @@ def main(argv=None):
                     help="torchvision VGG16 checkpoint for the LPIPS backbone")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny spec for smoke runs")
+    ap.add_argument("--insert_pos", type=int, nargs="+", default=None,
+                    help="override the trunk cross-attn insert positions "
+                         "(reference: config_test.yaml in_pos_enc/dec)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no_donate", action="store_true",
                     help="disable cross-step buffer donation")
@@ -79,6 +82,15 @@ def main(argv=None):
     ap.add_argument("--fsdp", action="store_true",
                     help="ZeRO-shard params + optimizer state over the "
                          "data axis (all-gather on use)")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel stages over a 'pipe' mesh axis: "
+                         "the hybrid ViT trunks switch to the stacked-cell "
+                         "layout, each stage holds 1/pp of the trunk params "
+                         "+ Adam moments, microbatches ride a ppermute ring "
+                         "(parallel.spmd_pipeline); composes with data "
+                         "parallelism over the remaining devices")
+    ap.add_argument("--pp_microbatch", type=int, default=None,
+                    help="pipeline microbatches (default: pp stages)")
     args = ap.parse_args(argv)
 
     # multi-host DP: one global mesh over every process's devices; batches
@@ -105,6 +117,11 @@ def main(argv=None):
                                args.train_px)
         feat_cfg, img_cfg = FeatLossCfg(), ImgLossCfg()
         tune_titok = False
+    if args.insert_pos is not None:
+        import dataclasses
+        spec = dataclasses.replace(spec,
+                                   insert_pos_enc=tuple(args.insert_pos),
+                                   insert_pos_dec=tuple(args.insert_pos))
     if args.perceptual is not None:
         import dataclasses
         img_cfg = dataclasses.replace(img_cfg, perceptual=args.perceptual)
@@ -131,6 +148,34 @@ def main(argv=None):
 
     import jax.numpy as jnp
     on_tpu = jax.devices()[0].platform != "cpu"
+
+    pp_cfg, pp_mesh = None, None
+    if args.pp > 1:
+        # PP over 'pipe' x DP over 'data' on one 2D mesh.  The trunk-cell
+        # count must divide by the stage count (models/hybrid.py
+        # cell_partition); remaining local devices carry data parallelism.
+        if world > 1 or args.tp > 1 or args.tile > 1:
+            ap.error("--pp composes with --fsdp and data parallelism; "
+                     "not with --tp/--tile or multi-host runs")
+        from ..models.hybrid import PPConfig, cell_partition
+        from ..parallel import make_mesh
+        n_local = len(jax.devices())
+        if n_local % args.pp:
+            ap.error(f"{n_local} devices not divisible by pp={args.pp}")
+        n_cells = spec.titok.num_layers // cell_partition(
+            spec.titok.num_layers, spec.insert_pos_enc)
+        if n_cells % args.pp:
+            ap.error(f"trunk has {n_cells} pipeline cells; --pp must "
+                     f"divide it (got {args.pp})")
+        data_ways = n_local // args.pp
+        pp_mesh = make_mesh(shape=(data_ways, args.pp),
+                            axis_names=("data", "pipe"))
+        pp_cfg = PPConfig(mesh=pp_mesh, axis="pipe",
+                          batch_axis="data" if data_ways > 1 else None,
+                          n_microbatch=args.pp_microbatch)
+        print(f"[train] pipeline parallel: {args.pp} stages x "
+              f"{data_ways} data, {n_cells} cells", file=sys.stderr)
+
     codec, state, steps = create_train_state(
         spec, strategy, jax.random.PRNGKey(args.seed),
         feat_cfg=feat_cfg, img_cfg=img_cfg,
@@ -138,7 +183,7 @@ def main(argv=None):
         donate=not args.no_donate,
         mu_dtype=jnp.bfloat16 if on_tpu else None,
         frozen_dtype=None if (args.f32_frozen or not on_tpu) else jnp.bfloat16,
-        lpips_lin=args.lpips_lin, lpips_vgg=args.lpips_vgg)
+        lpips_lin=args.lpips_lin, lpips_vgg=args.lpips_vgg, pp=pp_cfg)
     if args.resume:
         resumed = load_checkpoint(args.resume, state)
         if args.reset_schedule:
@@ -160,7 +205,19 @@ def main(argv=None):
             tb_log(d)
 
     globalize = lambda b: b
-    if args.tp > 1 or args.tile > 1 or args.fsdp:
+    if pp_cfg is not None:
+        from ..parallel import batch_sharding, shard_state_pp
+        mb = args.pp_microbatch or args.pp
+        per_mb = args.batch_size // mb if args.batch_size % mb == 0 else 0
+        if not per_mb or per_mb % pp_mesh.shape["data"]:
+            ap.error(f"--batch_size {args.batch_size} must be a multiple of "
+                     f"microbatches*data = {mb}*{pp_mesh.shape['data']} "
+                     "(each microbatch shards over the data axis)")
+        state = shard_state_pp(state, pp_mesh, axis="pipe",
+                               fsdp_axis="data" if args.fsdp else None)
+        globalize = lambda b: jax.device_put(jnp.asarray(b),
+                                             batch_sharding(pp_mesh))
+    elif args.tp > 1 or args.tile > 1 or args.fsdp:
         # single-process mesh parallelism: TP over 'model', spatial over
         # 'tile', remaining devices on 'data'; optional ZeRO over 'data'.
         if world > 1:
@@ -225,13 +282,22 @@ def main(argv=None):
                       ckpt_dir=args.ckpt_dir,
                       log_fn=log_fn if rank == 0 else (lambda d: None))
 
+    # PP mode: a partial final batch can't satisfy the microbatch x data
+    # sharding (and every distinct batch shape would be a fresh pipeline
+    # compile) — drop remainders, as GPipe schedulers conventionally do
+    full_only = ((lambda b: len(b) == args.batch_size) if pp_cfg is not None
+                 else (lambda b: True))
+
     def train_data():
         e = int(trainer.state.epoch_for_strategy)
-        return map(globalize, train_ds.batches(args.batch_size, epoch=e))
+        return map(globalize, filter(full_only,
+                                     train_ds.batches(args.batch_size,
+                                                      epoch=e)))
 
     def val_data():
         return map(globalize,
-                   val_ds.batches(args.batch_size, shuffle=False)) \
+                   filter(full_only,
+                          val_ds.batches(args.batch_size, shuffle=False))) \
             if val_ds else iter(())
 
     trainer.fit(train_data, val_data if val_ds else None, epochs=args.epochs)

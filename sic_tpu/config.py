@@ -27,6 +27,22 @@ def flagship_spec(**overrides) -> CodecSpec:
     return dataclasses.replace(CodecSpec(), **overrides)
 
 
+def small_spec(**overrides) -> CodecSpec:
+    """Mid-scale spec for from-scratch training on one chip: ViT-small
+    trunk (512 wide, 8 layers), half-width VQGAN, 384-ch detail branch.
+    Same topology as the flagship (reference: src/config/config_test.yaml),
+    sized so a 256-px pix step fits single-chip with batch >= 16."""
+    base = CodecSpec(
+        titok=TiTokSpec(model_size="small", codebook_size=1024,
+                        token_size=12, num_latent_tokens=32),
+        vqgan=VQGANSpec(ch=64, ch_mult=(1, 1, 2, 2, 4), num_res_blocks=1,
+                        attn_resolutions=(16,), z_channels=128,
+                        embed_dim=128, n_embed=512, resolution=256),
+        feat_width=384, quant_dim=48, merge_inner_width=512,
+        insert_pos_enc=(1, 3, 5, 7), insert_pos_dec=(1, 3, 5, 7))
+    return dataclasses.replace(base, **overrides)
+
+
 def tiny_spec(**overrides) -> CodecSpec:
     """Test-scale spec (CPU-friendly); same topology, tiny widths."""
     base = CodecSpec(

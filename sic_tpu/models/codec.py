@@ -65,15 +65,20 @@ def pad_replicate(x, pads):
 
 
 class Codec(nn.Module):
-    """Hybrid codec + VQGAN pixel decoder + prior fusion."""
+    """Hybrid codec + VQGAN pixel decoder + prior fusion.
+
+    ``pp`` switches the hybrid trunks to the stacked-cell layout and (when
+    its mesh is set) GPipe pipeline execution (models/hybrid.py PPConfig).
+    """
     spec: CodecSpec
     dtype: Optional[Dtype] = None
+    pp: Optional[Any] = None
 
     def setup(self):
         s = self.spec
         self.hybrid_codec = HybridCodec(
             s.titok, s.insert_pos_enc, s.insert_pos_dec, s.feat_width,
-            s.quant_dim, s.num_attns, s.remat, self.dtype)
+            s.quant_dim, s.num_attns, s.remat, self.dtype, self.pp)
         self.vqgan = VQGAN(s.vqgan, self.dtype)
         self.prior_fusion = FeatMerge(s.titok.width, s.feat_width,
                                       s.vqgan.n_embed, s.merge_inner_width,
@@ -147,10 +152,10 @@ class Codec(nn.Module):
 
 
 def init_codec(spec: CodecSpec, rng, image_hw: Tuple[int, int] = None,
-               dtype=None):
+               dtype=None, pp=None):
     """Initialize the full Codec param tree on a dummy batch (one tile)."""
     hw = image_hw or (spec.tile_px, spec.tile_px)
-    model = Codec(spec, dtype)
+    model = Codec(spec, dtype, pp)
     x = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
     init_fn = jax.jit(functools.partial(model.init, method=Codec.init_all))
     params = init_fn(rng, x)

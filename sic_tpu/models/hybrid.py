@@ -104,6 +104,128 @@ def _maybe_remat(cls, remat: bool, static_argnums=()):
     return nn.remat(cls, static_argnums=static_argnums) if remat else cls
 
 
+# -- pipeline-parallel trunk cells ---------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PPConfig:
+    """Pipeline-parallel execution config for the hybrid trunks.
+
+    With ``mesh=None`` the trunk still uses the stacked-cell param layout
+    (leaves gain a leading cell axis; runs as a sequential ``nn.scan``) —
+    that is also the init path.  With a mesh, the cells execute as a GPipe
+    ppermute ring over ``mesh`` axis ``axis`` (parallel/pipeline.py), so
+    each stage holds ``1/P`` of the trunk params: shard the cell leaves
+    ``P(axis)`` and the trunk memory scales with the stage count.
+
+    No reference counterpart — the reference is single-GPU torch
+    (SURVEY.md §2.6); this is the TPU mesh-scaling surface.
+    """
+    mesh: Any = None
+    axis: str = "pipe"
+    batch_axis: Optional[str] = None
+    n_microbatch: Optional[int] = None
+
+
+def cell_partition(num_layers: int, insert_pos: Tuple[int, ...]) -> int:
+    """Largest cell size ``k`` dividing ``num_layers`` with every insert
+    position at a cell end (layer ``c*k + k-1``).  The shipped geometries
+    partition exactly: 24 layers / inserts (3,7,11,15,19) -> k=4 (6 cells,
+    1 insert-free); 8 layers / inserts (1,3,5,7) -> k=2 (4 cells)."""
+    live = [p for p in insert_pos if p < num_layers]  # positions beyond the
+    # trunk never fire in the sequential loop; ignore them here too
+    for k in range(num_layers, 0, -1):
+        if num_layers % k == 0 and all(p % k == k - 1 for p in live):
+            return k
+    raise ValueError(f"no cell partition for L={num_layers}, {insert_pos}")
+
+
+def cell_gates(num_layers: int, insert_pos: Tuple[int, ...]):
+    """Per-cell 0/1 interaction gates for :class:`TrunkCell` stacks."""
+    k = cell_partition(num_layers, insert_pos)
+    live = {p for p in insert_pos if p < num_layers}
+    return [1.0 if (c * k + k - 1) in live else 0.0
+            for c in range(num_layers // k)]
+
+
+class TrunkCell(nn.Module):
+    """One pipeline cell of a hybrid trunk: ``cell_size`` ViT layers, then
+    a *gated* titok<->detail interaction (cross-attn + feat refiner).
+
+    Cells are structurally identical so their params stack on a leading
+    cell axis (``nn.scan`` layout) and pipeline over a mesh axis.  Cells
+    whose last layer is not an insert position carry dead interaction
+    params behind a 0-gate (``jnp.where`` — bit-exact skip); for the
+    flagship geometry that is 1 cell of 6, ~4%% of trunk FLOPs.
+    """
+    titok_width: int
+    num_heads: int
+    cell_size: int
+    feat_width: int
+    num_attns: int
+    grid_size: int
+    extra_tokens: int
+    remat: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, carry, gate, stack_shape: Tuple[int, int]):
+        x, feat = carry
+        rab = _maybe_remat(ResidualAttentionBlock, self.remat)
+        for j in range(self.cell_size):
+            x = rab(self.num_heads, 4.0, self.dtype, name=f"vit_{j}")(x)
+        cross = _maybe_remat(InteractiveCrossAttn, self.remat,
+                             static_argnums=(3,))
+        f2, x2 = cross(self.titok_width, self.feat_width, self.num_attns,
+                       self.grid_size, self.grid_size, self.extra_tokens,
+                       dtype=self.dtype, name="inter")(feat, x, stack_shape)
+        f2 = _maybe_remat(_FeatBlock, self.remat)(
+            self.feat_width, self.dtype, name="feat_block")(f2)
+        x = jnp.where(gate > 0.5, x2, x)
+        feat = jnp.where(gate > 0.5, f2, feat)
+        return (x, feat), None
+
+
+def _make_cells(spec: TiTokSpec, insert_pos, feat_width, num_attns, remat,
+                dtype, name="trunk_cells"):
+    k = cell_partition(spec.num_layers, insert_pos)
+    scan_cls = nn.scan(TrunkCell, variable_axes={"params": 0},
+                       split_rngs={"params": True},
+                       length=spec.num_layers // k,
+                       in_axes=(0, nn.broadcast))
+    return scan_cls(titok_width=spec.width, num_heads=spec.num_heads,
+                    cell_size=k, feat_width=feat_width, num_attns=num_attns,
+                    grid_size=spec.grid_size,
+                    extra_tokens=spec.num_latent_tokens + 1,
+                    remat=remat, dtype=dtype, name=name)
+
+
+def _run_cells(cells_mod, pp: PPConfig, spec: TiTokSpec, insert_pos,
+               feat_width, num_attns, remat, dtype, x, feat, stack_shape,
+               initializing: bool):
+    gates = jnp.asarray(cell_gates(spec.num_layers, insert_pos), x.dtype)
+    if pp.mesh is None or initializing:
+        (x, feat), _ = cells_mod((x, feat), gates, stack_shape)
+        return x, feat
+    from ..parallel.pipeline import spmd_pipeline
+    cell_params = cells_mod.variables["params"]
+    k = cell_partition(spec.num_layers, insert_pos)
+    cell = TrunkCell(titok_width=spec.width, num_heads=spec.num_heads,
+                     cell_size=k, feat_width=feat_width, num_attns=num_attns,
+                     grid_size=spec.grid_size,
+                     extra_tokens=spec.num_latent_tokens + 1,
+                     remat=remat, dtype=dtype,
+                     parent=None)  # detached: applied functionally per stage
+
+    def apply_block(pg, act):
+        p, g = pg
+        (nx, nf), _ = cell.apply({"params": p}, act, g, stack_shape)
+        return (nx, nf)
+
+    x, feat = spmd_pipeline(apply_block, (cell_params, gates), (x, feat),
+                            pp.mesh, pp.axis, pp.batch_axis, pp.n_microbatch)
+    return x, feat
+
+
 class HybridEncoder(nn.Module):
     """Frozen TiTok ViT encoder interleaved with a trainable detail branch
     (reference: codec_sq_fixbpp.py:48-183)."""
@@ -113,6 +235,7 @@ class HybridEncoder(nn.Module):
     num_attns: int = 2
     remat: bool = False
     dtype: Optional[Dtype] = None
+    pp: Optional[PPConfig] = None
 
     def setup(self):
         s = self.spec
@@ -127,8 +250,13 @@ class HybridEncoder(nn.Module):
             "latent_token_positional_embedding", init,
             (s.num_latent_tokens, s.width))
         self.ln_pre = LayerNorm(dtype=self.dtype)
-        rab = _maybe_remat(ResidualAttentionBlock, self.remat)
-        self.transformer = [rab(s.num_heads, 4.0, self.dtype) for _ in range(s.num_layers)]
+        if self.pp is not None:
+            self.trunk_cells = _make_cells(s, self.insert_pos,
+                                           self.feat_width, self.num_attns,
+                                           self.remat, self.dtype)
+        else:
+            rab = _maybe_remat(ResidualAttentionBlock, self.remat)
+            self.transformer = [rab(s.num_heads, 4.0, self.dtype) for _ in range(s.num_layers)]
         self.ln_post = LayerNorm(dtype=self.dtype)
         self.conv_out = QDense(s.token_size, dtype=self.dtype,
                                sensitive=True)
@@ -136,15 +264,16 @@ class HybridEncoder(nn.Module):
         # detail branch
         self.pix_emb_proj = QDense(self.feat_width, dtype=self.dtype)
         self.feat_in = SwinStack(self.feat_width, 4, dtype=self.dtype)
-        cross = _maybe_remat(InteractiveCrossAttn, self.remat, static_argnums=(3,))
-        fb = _maybe_remat(_FeatBlock, self.remat)
-        self.inter_blocks = {
-            str(i): cross(s.width, self.feat_width, self.num_attns,
-                          s.grid_size, s.grid_size, s.num_latent_tokens + 1,
-                          dtype=self.dtype)
-            for i in self.insert_pos}
-        self.feat_blocks = {str(i): fb(self.feat_width, self.dtype)
-                            for i in self.insert_pos}
+        if self.pp is None:
+            cross = _maybe_remat(InteractiveCrossAttn, self.remat, static_argnums=(3,))
+            fb = _maybe_remat(_FeatBlock, self.remat)
+            self.inter_blocks = {
+                str(i): cross(s.width, self.feat_width, self.num_attns,
+                              s.grid_size, s.grid_size, s.num_latent_tokens + 1,
+                              dtype=self.dtype)
+                for i in self.insert_pos}
+            self.feat_blocks = {str(i): fb(self.feat_width, self.dtype)
+                                for i in self.insert_pos}
         self.feat_out_swin = SwinStack(self.feat_width, 2, dtype=self.dtype)
         self.feat_out_down = nn.Conv(self.feat_width, (2, 2), strides=2,
                                      dtype=self.dtype)
@@ -174,11 +303,18 @@ class HybridEncoder(nn.Module):
         feat = self.feat_in(feat_emb)
 
         x = self.ln_pre(x)
-        for i in range(s.num_layers):
-            x = self.transformer[i](x)
-            if i in self.insert_pos:
-                feat, x = self.inter_blocks[str(i)](feat, x, stack_shape)
-                feat = self.feat_blocks[str(i)](feat)
+        if self.pp is not None:
+            x, feat = _run_cells(self.trunk_cells, self.pp, s,
+                                 self.insert_pos, self.feat_width,
+                                 self.num_attns, self.remat, self.dtype,
+                                 x, feat, stack_shape,
+                                 self.is_initializing())
+        else:
+            for i in range(s.num_layers):
+                x = self.transformer[i](x)
+                if i in self.insert_pos:
+                    feat, x = self.inter_blocks[str(i)](feat, x, stack_shape)
+                    feat = self.feat_blocks[str(i)](feat)
 
         z = x[:, 1 + s.grid_size ** 2:]
         z = self.ln_post(z)
@@ -205,6 +341,7 @@ class HybridDecoder(nn.Module):
     num_attns: int = 2
     remat: bool = False
     dtype: Optional[Dtype] = None
+    pp: Optional[PPConfig] = None
 
     def setup(self):
         s = self.spec
@@ -219,8 +356,13 @@ class HybridDecoder(nn.Module):
             "latent_token_positional_embedding", init,
             (s.num_latent_tokens, s.width))
         self.ln_pre = LayerNorm(dtype=self.dtype)
-        rab = _maybe_remat(ResidualAttentionBlock, self.remat)
-        self.transformer = [rab(s.num_heads, 4.0, self.dtype) for _ in range(s.num_layers)]
+        if self.pp is not None:
+            self.trunk_cells = _make_cells(s, self.insert_pos,
+                                           self.feat_width, self.num_attns,
+                                           self.remat, self.dtype)
+        else:
+            rab = _maybe_remat(ResidualAttentionBlock, self.remat)
+            self.transformer = [rab(s.num_heads, 4.0, self.dtype) for _ in range(s.num_layers)]
         self.ln_post = LayerNorm(dtype=self.dtype)
         # (the TiTok decoder's original pixel ffn is dropped, as in the
         # reference: codec_sq_fixbpp.py:195)
@@ -228,15 +370,16 @@ class HybridDecoder(nn.Module):
         self.feat_up_conv = nn.Conv(self.feat_width * 4, (1, 1), dtype=self.dtype)
         self.feat_up_shuffle = PixelShuffle(2)
         self.feat_up_swin = SwinStack(self.feat_width, 4, dtype=self.dtype)
-        cross = _maybe_remat(InteractiveCrossAttn, self.remat, static_argnums=(3,))
-        fb = _maybe_remat(_FeatBlock, self.remat)
-        self.inter_blocks = {
-            str(i): cross(s.width, self.feat_width, self.num_attns,
-                          s.grid_size, s.grid_size, s.num_latent_tokens + 1,
-                          dtype=self.dtype)
-            for i in self.insert_pos}
-        self.feat_blocks = {str(i): fb(self.feat_width, self.dtype)
-                            for i in self.insert_pos}
+        if self.pp is None:
+            cross = _maybe_remat(InteractiveCrossAttn, self.remat, static_argnums=(3,))
+            fb = _maybe_remat(_FeatBlock, self.remat)
+            self.inter_blocks = {
+                str(i): cross(s.width, self.feat_width, self.num_attns,
+                              s.grid_size, s.grid_size, s.num_latent_tokens + 1,
+                              dtype=self.dtype)
+                for i in self.insert_pos}
+            self.feat_blocks = {str(i): fb(self.feat_width, self.dtype)
+                                for i in self.insert_pos}
 
     def __call__(self, z_quantized, h_quantized, stack_shape: Tuple[int, int]):
         """z_quantized: (BT, n_latent, token_size); h_quantized:
@@ -261,11 +404,18 @@ class HybridDecoder(nn.Module):
         feat = self.feat_up_swin(feat)
 
         x = self.ln_pre(x)
-        for i in range(s.num_layers):
-            x = self.transformer[i](x)
-            if i in self.insert_pos:
-                feat, x = self.inter_blocks[str(i)](feat, x, stack_shape)
-                feat = self.feat_blocks[str(i)](feat)
+        if self.pp is not None:
+            x, feat = _run_cells(self.trunk_cells, self.pp, s,
+                                 self.insert_pos, self.feat_width,
+                                 self.num_attns, self.remat, self.dtype,
+                                 x, feat, stack_shape,
+                                 self.is_initializing())
+        else:
+            for i in range(s.num_layers):
+                x = self.transformer[i](x)
+                if i in self.insert_pos:
+                    feat, x = self.inter_blocks[str(i)](feat, x, stack_shape)
+                    feat = self.feat_blocks[str(i)](feat)
 
         x = x[:, 1:1 + s.grid_size ** 2]
         x = self.ln_post(x)
@@ -309,13 +459,16 @@ class HybridCodec(nn.Module):
     num_attns: int = 2
     remat: bool = False
     dtype: Optional[Dtype] = None
+    pp: Optional[PPConfig] = None
 
     def setup(self):
         s = self.spec
         self.encoder = HybridEncoder(s, self.insert_pos_enc, self.feat_width,
-                                     self.num_attns, self.remat, self.dtype)
+                                     self.num_attns, self.remat, self.dtype,
+                                     self.pp)
         self.decoder = HybridDecoder(s, self.insert_pos_dec, self.feat_width,
-                                     self.num_attns, self.remat, self.dtype)
+                                     self.num_attns, self.remat, self.dtype,
+                                     self.pp)
         self.latent_tokens = self.param(
             "latent_tokens", scaled_normal_init(s.width ** -0.5),
             (s.num_latent_tokens, s.width))

@@ -35,8 +35,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch axis over the whole mesh (pure DP view of a 2D mesh)."""
-    return NamedSharding(mesh, P(("data", "tile")))
+    """Batch axis over the mesh's data-like axes (pure DP view): 'data'
+    plus 'tile' when present — meshes with other secondary axes (e.g.
+    ('data', 'pipe')) shard the batch over 'data' only."""
+    axes = tuple(a for a in ("data", "tile") if a in mesh.shape)
+    return NamedSharding(mesh, P(axes))
 
 
 def image_sharding(mesh: Mesh) -> NamedSharding:
@@ -192,3 +195,41 @@ def shard_state_tp(tree, mesh: Mesh, axis: str = "model",
     return jax.device_put(
         tree, tp_sharding(tree, mesh, axis, DEFAULT_TP_RULES,
                           fsdp_axis, min_size))
+
+
+# --- pipeline parallelism (stacked-cell trunk layout) ------------------------
+
+def pp_sharding(tree, mesh: Mesh, axis: str = "pipe",
+                fsdp_axis: Optional[str] = None, min_size: int = 1 << 16):
+    """Per-leaf NamedShardings for the PP state layout: every
+    ``trunk_cells`` leaf (and its optimizer-state mirrors — path-matched,
+    like :func:`tp_sharding`) is split on its leading cell axis over
+    ``axis`` so each pipeline stage holds only its own cells' params and
+    Adam moments.  Remaining leaves replicate, or FSDP-shard over
+    ``fsdp_axis`` when given (PP over 'pipe' x ZeRO over 'data').
+
+    Pre-placing the state this way is what keeps the pjit'ed train step
+    free of involuntary rematerialization: the stacked leaves already
+    live in the ``P(axis)`` layout ``spmd_pipeline`` consumes
+    (VERDICT.md round 3, multichip item).
+    """
+    n = mesh.shape[axis]
+
+    def spec_for(path, x):
+        shape = getattr(x, "shape", ())
+        if ("trunk_cells" in _path_str(path) and n > 1 and shape
+                and shape[0] % n == 0):
+            return NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+        if fsdp_axis is not None:
+            return fsdp_sharding({"x": x}, mesh, fsdp_axis, min_size)["x"]
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
+def shard_state_pp(tree, mesh: Mesh, axis: str = "pipe",
+                   fsdp_axis: Optional[str] = None,
+                   min_size: int = 1 << 16):
+    """Place a state pytree with pipeline-stage (optionally + FSDP) specs."""
+    return jax.device_put(tree, pp_sharding(tree, mesh, axis,
+                                            fsdp_axis, min_size))

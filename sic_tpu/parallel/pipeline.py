@@ -63,37 +63,43 @@ def spmd_pipeline(apply_block: Callable,
 
     Args:
       apply_block: ``(layer_params, act) -> act`` pure single-layer apply.
+        Both the params and the activations may be arbitrary pytrees.
       stacked_params: pytree with leading layer axis ``L`` on every leaf
         (from :func:`stack_trunk`); ``L`` must divide by ``mesh.shape[axis]``
         and layers are assigned to stages in order (stage p owns layers
         ``[p*L/P, (p+1)*L/P)``).
-      x: ``(B, ...)`` activations.  ``B`` is split into ``n_microbatch``
-        equal microbatches (default: one per stage).
+      x: pytree of ``(B_leaf, ...)`` activations.  Every leaf's leading dim
+        is split into ``n_microbatch`` equal microbatches (default: one per
+        stage) — a multi-activation trunk (e.g. the hybrid codec's
+        (tokens, feat) carry) pipelines as one unit.
       mesh / axis: the pipeline mesh axis.
       batch_axis: optional mesh axis the batch dim is additionally sharded
         over (data parallelism); each data slice pipelines independently.
       n_microbatch: microbatch count ``M``; bubble fraction is
         ``(P-1)/(P-1+M)``.
 
-    Returns ``(B, ...)`` output, replicated over ``axis`` (the last stage's
-    result is broadcast back via a masked ``psum`` so callers see ordinary
-    data-sharded activations).
+    Returns the activation pytree, replicated over ``axis`` (the last
+    stage's result is broadcast back via a masked ``psum`` so callers see
+    ordinary data-sharded activations).
     """
     n_stages = mesh.shape[axis]
     if n_microbatch is None:
         n_microbatch = n_stages
-    B = x.shape[0]
-    assert B % n_microbatch == 0, (B, n_microbatch)
+    leading = [leaf.shape[0] for leaf in jax.tree.leaves(x)]
+    assert all(b % n_microbatch == 0 for b in leading), (leading, n_microbatch)
     L = jax.tree.leaves(stacked_params)[0].shape[0]
     assert L % n_stages == 0, (L, n_stages)
 
-    mbs = x.reshape((n_microbatch, B // n_microbatch) + x.shape[1:])
+    mbs = jax.tree.map(
+        lambda a: a.reshape((n_microbatch, a.shape[0] // n_microbatch)
+                            + a.shape[1:]), x)
 
     param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
-    mb_spec = P(None, batch_axis) if batch_axis else P()
+    one_spec = P(None, batch_axis) if batch_axis else P()
+    mb_spec = jax.tree.map(lambda _: one_spec, x)
 
     def stage_fn(local_params, mbs_local):
-        # local_params leaves: (L/P, ...); mbs_local: (M, mb[/data], ...)
+        # local_params leaves: (L/P, ...); mbs_local leaves: (M, mb[/data], ...)
         stage = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
@@ -105,26 +111,30 @@ def spmd_pipeline(apply_block: Callable,
 
         # the loop body is pipe-varying (axis_index, ppermute); mark the
         # initial carry to match so scan's carry types line up
-        zeros = jax.lax.pcast(jnp.zeros_like(mbs_local[0]), (axis,),
-                              to="varying")
-        outbuf = jax.lax.pcast(jnp.zeros_like(mbs_local), (axis,),
-                               to="varying")
+        def _varying(t):
+            return jax.lax.pcast(t, (axis,), to="varying")
+        zeros = jax.tree.map(lambda m: _varying(jnp.zeros_like(m[0])),
+                             mbs_local)
+        outbuf = jax.tree.map(lambda m: _varying(jnp.zeros_like(m)),
+                              mbs_local)
         n_steps = n_microbatch + n_stages - 1
 
         def step(carry, t):
             recv, outbuf = carry
             rd = jnp.clip(t, 0, n_microbatch - 1)
-            inp = jnp.where(stage == 0,
-                            jax.lax.dynamic_index_in_dim(
-                                mbs_local, rd, 0, keepdims=False),
-                            recv)
+            inp = jax.tree.map(
+                lambda m, r: jnp.where(
+                    stage == 0,
+                    jax.lax.dynamic_index_in_dim(m, rd, 0, keepdims=False),
+                    r), mbs_local, recv)
             out = local_apply(inp)
             w = t - (n_stages - 1)
             valid = jnp.logical_and(stage == n_stages - 1, w >= 0)
             wclip = jnp.clip(w, 0, n_microbatch - 1)
-            written = jax.lax.dynamic_update_index_in_dim(
-                outbuf, out, wclip, 0)
-            outbuf = jnp.where(valid, written, outbuf)
+            outbuf = jax.tree.map(
+                lambda b, o: jnp.where(
+                    valid, jax.lax.dynamic_update_index_in_dim(b, o, wclip, 0),
+                    b), outbuf, out)
             recv = jax.lax.ppermute(out, axis, perm)
             return (recv, outbuf), None
 
@@ -132,14 +142,71 @@ def spmd_pipeline(apply_block: Callable,
                                       jnp.arange(n_steps))
         # broadcast the last stage's buffer to every stage so the result
         # leaves shard_map replicated over the pipe axis
-        mask = (stage == n_stages - 1).astype(outbuf.dtype)
-        return jax.lax.psum(outbuf * mask, axis)
+        return jax.tree.map(
+            lambda b: jax.lax.psum(
+                b * (stage == n_stages - 1).astype(b.dtype), axis), outbuf)
 
     run = jax.shard_map(stage_fn, mesh=mesh,
                         in_specs=(param_specs, mb_spec),
                         out_specs=mb_spec)
     out = run(stacked_params, mbs)
-    return out.reshape((B,) + out.shape[2:])
+    return jax.tree.map(
+        lambda o: o.reshape((o.shape[0] * o.shape[1],) + o.shape[2:]), out)
+
+
+def stack_hybrid_cells(tree, num_layers: int, insert_pos):
+    """Convert a named hybrid-trunk param tree (``transformer_{i}``,
+    ``inter_blocks_{i}``, ``feat_blocks_{i}``) into the stacked
+    ``trunk_cells`` layout of ``HybridEncoder(pp=...)`` — leaves gain a
+    leading cell axis; insert-free cells get ZERO interaction params
+    (they sit behind a 0-gate and never execute, models/hybrid.py
+    TrunkCell).  Returns the converted tree; non-trunk keys pass through.
+    Inverse: :func:`unstack_hybrid_cells`.
+    """
+    from ..models.hybrid import cell_partition
+    k = cell_partition(num_layers, insert_pos)
+    n_cells = num_layers // k
+    insert_pos = [p for p in insert_pos if p < num_layers]
+    assert insert_pos, "trunk has no live insert positions; nothing to stack"
+    inter_template = tree[f"inter_blocks_{insert_pos[0]}"]
+    fb_template = tree[f"feat_blocks_{insert_pos[0]}"]
+    cells = []
+    for c in range(n_cells):
+        cell = {f"vit_{j}": tree[f"transformer_{c * k + j}"]
+                for j in range(k)}
+        end = c * k + k - 1
+        if end in insert_pos:
+            cell["inter"] = tree[f"inter_blocks_{end}"]
+            cell["feat_block"] = tree[f"feat_blocks_{end}"]
+        else:
+            cell["inter"] = jax.tree.map(jnp.zeros_like, inter_template)
+            cell["feat_block"] = jax.tree.map(jnp.zeros_like, fb_template)
+        cells.append(cell)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *cells)
+    trunk_re = re.compile(
+        r"^(transformer_|inter_blocks_|feat_blocks_)\d+$")
+    out = {kk: v for kk, v in tree.items() if not trunk_re.match(kk)}
+    out["trunk_cells"] = stacked
+    return out
+
+
+def unstack_hybrid_cells(tree, num_layers: int, insert_pos):
+    """Inverse of :func:`stack_hybrid_cells` (insert-free cells' dead
+    interaction params are dropped)."""
+    from ..models.hybrid import cell_partition
+    k = cell_partition(num_layers, insert_pos)
+    insert_pos = [p for p in insert_pos if p < num_layers]
+    stacked = tree["trunk_cells"]
+    out = {kk: v for kk, v in tree.items() if kk != "trunk_cells"}
+    for c in range(num_layers // k):
+        cell = jax.tree.map(lambda t: t[c], stacked)
+        for j in range(k):
+            out[f"transformer_{c * k + j}"] = cell[f"vit_{j}"]
+        end = c * k + k - 1
+        if end in insert_pos:
+            out[f"inter_blocks_{end}"] = cell["inter"]
+            out[f"feat_blocks_{end}"] = cell["feat_block"]
+    return out
 
 
 def pipeline_vit_trunk(params, num_heads: int, x, mesh: Mesh,

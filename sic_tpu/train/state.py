@@ -48,6 +48,10 @@ def is_frozen_path(path: Tuple[str, ...], tune_titok: bool = False) -> bool:
             leaf = p[2]
             if leaf in _FROZEN_TITOK_LEAVES or leaf.startswith("transformer_"):
                 return True
+            if leaf == "trunk_cells":     # PP cell layout: the stacked ViT
+                # layers are the frozen TiTok trunk; the interaction params
+                # (inter/feat_block) are the trainable detail branch
+                return len(p) > 3 and p[3].startswith("vit_")
         return False
     if p[0] == "vqgan":
         return p[1] in ("encoder", "quant_conv")

@@ -33,7 +33,8 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
                        image_hw=None, tune_titok: bool = False,
                        codec_params=None, dtype=None,
                        donate: bool = False, mu_dtype=None,
-                       frozen_dtype=None, lpips_lin=None, lpips_vgg=None):
+                       frozen_dtype=None, lpips_lin=None, lpips_vgg=None,
+                       pp=None):
     """Initialize models, optimizers and the jitted step functions.
 
     Single-chip big-model knobs: ``donate=True`` reuses state buffers
@@ -52,10 +53,10 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
 
     r_codec, r_disc, r_lpips, r_state = jax.random.split(rng, 4)
     hw = image_hw or (spec.tile_px, spec.tile_px)
-    codec = Codec(spec, dtype)
+    codec = Codec(spec, dtype, pp)
     if codec_params is None:
         from ..models.codec import init_codec
-        _, codec_params = init_codec(spec, r_codec, hw, dtype)
+        _, codec_params = init_codec(spec, r_codec, hw, dtype, pp=pp)
     if frozen_dtype is not None:
         codec_params = cast_frozen_params(codec_params, frozen_dtype,
                                           tune_titok)

@@ -19,8 +19,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent XLA compile cache: repeat suite runs skip recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/sic_tpu_xla_cache")
+# persistent XLA compile cache: repeat suite runs skip recompilation.
+# Host-ISA-keyed subdir (cli/_common.py): CPU AOT entries bake the
+# compiling host's ISA, and mixing entries from the remote-compile
+# service in one flat dir makes XLA log SIGILL warnings on every load.
+try:
+    from sic_tpu.cli._common import _host_isa_tag
+    _cache = f"/tmp/sic_tpu_xla_cache/cpu-{_host_isa_tag()}"
+except Exception:
+    _cache = "/tmp/sic_tpu_xla_cache/cpu"
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))

@@ -238,3 +238,138 @@ def test_pipeline_vit_trunk_titok():
     out = pipeline_vit_trunk(params, s.num_heads, x, mesh, n_microbatch=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+# -- hybrid-trunk pipeline parallelism (stacked-cell layout) -------------------
+
+def _pp_spec():
+    from sic_tpu.config import tiny_spec
+    # 2-layer tiny trunk with inserts at (0, 1): cell_size 1 -> 2 cells,
+    # both gated on, pipelinable over 2 stages
+    return tiny_spec(insert_pos_enc=(0, 1), insert_pos_dec=(0, 1))
+
+
+def _named_and_cells_params(spec):
+    from sic_tpu.models.codec import init_codec
+    from sic_tpu.parallel import stack_hybrid_cells
+    _, p0 = init_codec(spec, jax.random.PRNGKey(0), (256, 256))
+    L = spec.titok.num_layers
+    p1 = jax.tree.map(lambda x: x, p0)
+    hc = p1["params"]["hybrid_codec"]
+    hc["encoder"] = stack_hybrid_cells(hc["encoder"], L, spec.insert_pos_enc)
+    hc["decoder"] = stack_hybrid_cells(hc["decoder"], L, spec.insert_pos_dec)
+    return p0, p1
+
+
+def test_hybrid_cells_layout_matches_sequential():
+    """The stacked-cell trunk layout (PPConfig, nn.scan execution) is
+    BIT-EXACT vs the named per-layer trunk, and the layout converters
+    round-trip."""
+    from sic_tpu.models.codec import Codec, init_codec
+    from sic_tpu.models.hybrid import PPConfig
+    from sic_tpu.parallel import unstack_hybrid_cells
+
+    spec = _pp_spec()
+    p0, p1 = _named_and_cells_params(spec)
+    # converted layout == a fresh pp-mode init's layout
+    _, p_ref = init_codec(spec, jax.random.PRNGKey(0), (256, 256),
+                          pp=PPConfig())
+    assert jax.tree.map(lambda t: t.shape, p1) \
+        == jax.tree.map(lambda t: t.shape, p_ref)
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (2, 256, 256, 3)).astype(np.float32))
+    m0 = Codec(spec)
+    m1 = Codec(spec, None, PPConfig())
+    o0 = m0.apply(p0, x, need_full_decode=True)
+    o1 = m1.apply(p1, x, need_full_decode=True)
+    np.testing.assert_array_equal(np.asarray(o0["x_hat"]),
+                                  np.asarray(o1["x_hat"]))
+
+    enc_rt = unstack_hybrid_cells(
+        p1["params"]["hybrid_codec"]["encoder"], spec.titok.num_layers,
+        spec.insert_pos_enc)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        enc_rt, p0["params"]["hybrid_codec"]["encoder"])
+
+
+@pytest.mark.slow  # full-tier: shard_map pipeline compile of the full codec
+def test_hybrid_pp_forward_matches_sequential():
+    """GPipe execution of the hybrid trunks (2 stages x 2 data, microbatch
+    ring) reproduces the sequential forward within float tolerance."""
+    from sic_tpu.models.codec import Codec
+    from sic_tpu.models.hybrid import PPConfig
+
+    spec = _pp_spec()
+    p0, p1 = _named_and_cells_params(spec)
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        -1, 1, (4, 256, 256, 3)).astype(np.float32))
+    o0 = Codec(spec).apply(p0, x, need_full_decode=True)
+
+    mesh = make_mesh(shape=(2, 2), axis_names=("data", "pipe"),
+                     devices=jax.devices()[:4])
+    m = Codec(spec, None, PPConfig(mesh=mesh, batch_axis="data",
+                                   n_microbatch=2))
+    o1 = jax.jit(lambda p, x: m.apply(p, x, need_full_decode=True)["x_hat"])(
+        p1, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0["x_hat"]),
+                               rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow  # full-tier: fwd+bwd pipeline compile, ~7 min on CPU
+def test_pp_train_step_matches_sequential():
+    """The --pp training surface optimizes the same function as the
+    sequential model: the full-codec training loss AND its gradients
+    w.r.t. every param agree between the two layouts.
+
+    Gradient-level comparison (per-leaf relative norm) rather than
+    post-Adam params: Adam's first step is ~sign descent
+    (update = lr*g/(sqrt(g^2)+eps)), so params whose grads are
+    noise-level (e.g. attention k-biases — softmax shift invariance)
+    would differ by a full step from pure float-reassociation noise."""
+    from sic_tpu.models.codec import Codec
+    from sic_tpu.models.hybrid import PPConfig
+    from sic_tpu.parallel import batch_sharding, unstack_hybrid_cells
+    import flax.traverse_util as tu
+
+    spec = _pp_spec()
+    p0, p1 = _named_and_cells_params(spec)
+    x = np.random.default_rng(3).uniform(
+        -1, 1, (4, 256, 256, 3)).astype(np.float32)
+
+    def loss_of(model):
+        def f(params, xb):
+            out = model.apply(params, xb, need_full_decode=True)
+            return (jnp.mean(jnp.abs(out["x"] - out["x_hat"]))
+                    + 0.1 * out["bpp_loss"] + out["vq_loss"])
+        return f
+
+    m0 = Codec(spec)
+    l0, g0 = jax.value_and_grad(loss_of(m0))(p0, jnp.asarray(x))
+
+    mesh = make_mesh(shape=(2, 2), axis_names=("data", "pipe"),
+                     devices=jax.devices()[:4])
+    m1 = Codec(spec, None, PPConfig(mesh=mesh, batch_axis="data",
+                                    n_microbatch=2))
+    from sic_tpu.parallel import pp_sharding
+    p1 = jax.device_put(p1, pp_sharding(p1, mesh, axis="pipe"))
+    xg = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    l1, g1 = jax.jit(jax.value_and_grad(loss_of(m1)))(p1, xg)
+
+    assert abs(float(l0) - float(l1)) < 5e-4, (float(l0), float(l1))
+
+    L = spec.titok.num_layers
+    un = jax.tree.map(lambda t: t, g1["params"])
+    un["hybrid_codec"]["encoder"] = unstack_hybrid_cells(
+        un["hybrid_codec"]["encoder"], L, spec.insert_pos_enc)
+    un["hybrid_codec"]["decoder"] = unstack_hybrid_cells(
+        un["hybrid_codec"]["decoder"], L, spec.insert_pos_dec)
+    f0 = tu.flatten_dict(g0["params"])
+    f1 = tu.flatten_dict(un)
+    assert set(f0) == set(f1)
+    for k in f0:
+        a, b = np.asarray(f0[k], np.float64), np.asarray(f1[k], np.float64)
+        denom = np.linalg.norm(a) + 1e-6
+        rel = np.linalg.norm(a - b) / denom
+        assert rel < 2e-2, ("/".join(k), rel)
