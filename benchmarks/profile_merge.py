@@ -48,35 +48,40 @@ def main():
     from sic_tpu.models.swin import SwinStack
     from sic_tpu.models.hybrid import FeatMerge
     from sic_tpu.models.layers import LayerNorm
+    from sic_tpu.ops.quant import QDense
 
     dev = jax.devices()[0]
     peak = 197e12 if dev.platform == "tpu" else None
     print(f"# device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
     B, G = args.batch, args.grid
-    TW, FW, NE, IW = 1024, 768, 256, 1024   # FeatMerge flagship geometry
+    # FeatMerge flagship geometry; ED = VQGANSpec.embed_dim (the codebook
+    # embedding width — NOT NE, they are only coincidentally equal here)
+    TW, FW, NE, IW, ED = 1024, 768, 256, 1024, 256
     dt = jnp.bfloat16
 
     def arr(seed, *shape):
         r = np.random.default_rng(seed)
         return jnp.asarray(r.standard_normal(shape).astype(np.float32)).astype(dt)
 
+    # QDense == nn.Dense in float mode; using it keeps these sub-stage
+    # replicas representative of the int8 W8A8 serving path too (ADVICE r3)
     class MergeDense(nn.Module):
         @nn.compact
         def __call__(self, titok, feat):
             h = jnp.concatenate([titok, feat], axis=-1)
-            h = nn.Dense(TW * 2, dtype=dt, name="merge_fc1")(h)
+            h = QDense(TW * 2, dtype=dt, name="merge_fc1")(h)
             h = LayerNorm(dtype=dt, name="merge_ln")(h)
             h = nn.silu(h)
-            return nn.Dense(IW, dtype=dt, name="merge_fc2")(h)
+            return QDense(IW, dtype=dt, name="merge_fc2")(h)
 
     class FfnMix(nn.Module):
         @nn.compact
         def __call__(self, h, codebook):
             h = LayerNorm(dtype=dt, name="ffn_ln")(h)
-            h = nn.Dense(IW * 2, dtype=dt, name="ffn_fc1")(h)
+            h = QDense(IW * 2, dtype=dt, name="ffn_fc1")(h)
             h = jnp.tanh(h)
-            logits = nn.Dense(NE, dtype=dt, name="ffn_fc2")(h)
+            logits = QDense(NE, dtype=dt, name="ffn_fc2")(h)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return jnp.einsum("bhwn,nd->bhwd", probs, codebook)
 
@@ -97,10 +102,10 @@ def main():
         ("merge_swin", SwinStack(IW, 4, dtype=dt),
          lambda s: (arr(s, B, G, G, IW),)),
         ("ffn_mix", FfnMix(),
-         lambda s: (arr(s, B, G, G, IW), arr(s + 1, NE, 256))),
+         lambda s: (arr(s, B, G, G, IW), arr(s + 1, NE, ED))),
         ("featmerge_full", FullMerge(),
          lambda s: (arr(s, B, G, G, TW), arr(s + 1, B, G, G, FW),
-                    arr(s + 2, NE, 256))),
+                    arr(s + 2, NE, ED))),
     ]
 
     out = {"batch": B, "grid": G, "device": dev.device_kind,
