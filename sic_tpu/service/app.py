@@ -336,6 +336,11 @@ def make_handler(state: ServiceState):
         # -- GET ----------------------------------------------------------------
         def do_GET(self):
             url = urlparse(self.path)
+            if url.path == "/healthz":
+                # container/orchestrator liveness probe (the deploy surface
+                # the reference wires in k8s, gitlab-ci.yml deploy stage)
+                self._send(200, b'{"ok": true}', "application/json")
+                return
             if url.path == "/":
                 page = state.static_dir / "index.html"
                 if page.exists():

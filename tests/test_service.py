@@ -243,3 +243,11 @@ def test_corrupt_stream_in_a_group_fails_alone(server):
     assert bad_code == 500
     for f in goods:
         assert f.result() == seq_png  # unharmed AND byte-identical
+
+
+def test_healthz(server):
+    """Container liveness probe (Dockerfile/CI smoke target)."""
+    base, _, _ = server
+    resp = urllib.request.urlopen(f"{base}/healthz", timeout=30)
+    assert resp.status == 200
+    assert json.loads(resp.read()) == {"ok": True}
