@@ -25,10 +25,16 @@ import numpy as np
 
 
 def measure(n: int = 100_000, dim: int = 512, batch: int = 256, k: int = 10,
-            iters: int = 16) -> float:
+            iters: int = 16, pipelined: bool = True,
+            depth: int = 4) -> float:
     """QPS of top-k search with ``iters`` independent query batches in
     flight, including each batch's host->device upload (what a serving
-    process pays per request wave)."""
+    process pays per request wave).
+
+    ``pipelined=True`` drives ``VectorIndex.search_many`` (thread-pooled
+    waves: wave j+1's upload overlaps wave j's compute — the round-4 fix
+    for the RTT-bound small-wave regime); ``False`` reproduces the old
+    single-dispatcher loop for A/B."""
     from sic_tpu.retrieval import VectorIndex
 
     rng = np.random.default_rng(0)
@@ -50,9 +56,14 @@ def measure(n: int = 100_000, dim: int = 512, batch: int = 256, k: int = 10,
     np.asarray(s), np.asarray(i0)
 
     t0 = time.perf_counter()
-    outs = [index.search_device(q, k=k) for q in qs]
-    for s, ids in outs:                        # full materialization fence
-        np.asarray(s), np.asarray(ids)
+    if pipelined:
+        outs = index.search_many(qs, k=k, depth=depth)
+        for s, ids in outs:                    # already materialized
+            assert s.shape == (batch, k)
+    else:
+        outs = [index.search_device(q, k=k) for q in qs]
+        for s, ids in outs:                    # full materialization fence
+            np.asarray(s), np.asarray(ids)
     dt = time.perf_counter() - t0
     qps = iters * batch / dt
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -266,6 +267,43 @@ class CodecRuntime:
         assert device_entropy in ("auto", "host", "device"), device_entropy
         self.device_entropy = device_entropy
 
+        # -- link-bandwidth-keyed encode policy (self-tuning) -------------
+        # Host-path encode fetches the packed int16 planes; device-path
+        # encode (Pallas rANS) fetches only the finished entropy words
+        # (~8x smaller) at the cost of the kernel's serial walk.  Which
+        # wins depends on the live host<->device bandwidth (round-3: a
+        # degraded 35 MB/s tunnel made `fetch` the top wall-clock stage),
+        # so the runtime measures it from its own large fetches and routes
+        # each batch by predicted time.  Priors from the r3 ablations:
+        # ~0.09 s kernel walk per coding chunk (RANS_ABLATION_r03b.json),
+        # 8x stream shrink (ops/rans_encode.py).
+        self._link_bw: Optional[float] = None      # bytes/s EMA
+        self._dev_enc_chunk_s: float = 0.09        # kernel s/chunk EMA
+        self._dev_shrink: float = 8.0
+
+    def _note_fetch(self, nbytes: int, secs: float) -> None:
+        """Update the link-bandwidth estimate from a real device fetch
+        (large transfers only — small ones measure RTT, not bandwidth)."""
+        if nbytes < (1 << 18) or secs <= 0:
+            return
+        bw = nbytes / secs
+        self._link_bw = (bw if self._link_bw is None
+                         else 0.5 * self._link_bw + 0.5 * bw)
+
+    def _use_device_encode(self, packed_bytes: int, n_chunks: int) -> bool:
+        """Route an encode batch: device rANS when the predicted kernel
+        walk beats the packed-plane fetch at the measured bandwidth."""
+        if self.device_entropy == "host" or self.mesh is not None:
+            return False
+        if self.device_entropy == "device":
+            return True
+        if jax.default_backend() != "tpu" or self._link_bw is None:
+            return False                 # first batch measures the link
+        t_host = packed_bytes / self._link_bw
+        t_dev = (n_chunks * self._dev_enc_chunk_s
+                 + packed_bytes / self._dev_shrink / self._link_bw)
+        return t_dev < t_host
+
     def _use_device_entropy(self, h_bit_stream: bytes, latent_shape) -> bool:
         """Decide the h-stream decode path.  The on-device Pallas decoder
         wins when its ~2.6 us/serial-position cost beats the host path's 4
@@ -329,18 +367,24 @@ class CodecRuntime:
         if self.mesh is not None:
             from ..parallel import shard_batch
             x01 = shard_batch(x01, self.mesh)
-        # Device entropy ENCODE is opt-in ("device"), not the "auto"
-        # default, unlike decode.  The asymmetry is measured, not
-        # aesthetic (BENCH r3, one v5e via tunnel): host-path decode
-        # needs 4 SERIAL round trips (one per autoregressive plane), so
-        # the on-device decode kernel wins (112 vs 247 ms p50) — but
-        # host-path encode ships all packed planes in ONE fetch, so at
-        # stream_part=4 the encode kernel's sequential walk costs more
-        # than the fetch it saves (189 vs 66 ms p50).  The kernel stays
-        # byte-exact-validated every bench run for the geometries where
-        # it does pay (more substreams, slow/absent hosts).
-        use_dev_enc = (B == 1 and self.device_entropy == "device"
-                       and self.mesh is None)
+        # Device entropy ENCODE is opt-in ("device") OR link-policy-routed,
+        # not the unconditional "auto" default, unlike decode.  The
+        # asymmetry is measured, not aesthetic (BENCH r3, one v5e via
+        # tunnel): host-path decode needs 4 SERIAL round trips (one per
+        # autoregressive plane), so the on-device decode kernel wins (112
+        # vs 247 ms p50) — but host-path encode ships all packed planes in
+        # ONE fetch, so at a HEALTHY link the encode kernel's sequential
+        # walk costs more than the fetch it saves (189 vs 66 ms p50).  On
+        # a degraded link the ~8x stream shrink flips the sign, which is
+        # what ``_use_device_encode`` predicts from the measured bandwidth
+        # (round-4 verdict item: link-robust batched encode).
+        if B == 1 and self.mesh is None:
+            Hl = H // 32
+            Wl = W // 32
+            pb = 4 * Hl * Wl * self.spec.quant_dim
+            use_dev_enc = self._use_device_encode(pb, 1)
+        else:
+            use_dev_enc = False
         if use_dev_enc:
             with timed_stage(timer, "encode_device"):
                 z_indices, h, _ = self._encode(self.params, x01)
@@ -361,7 +405,9 @@ class CodecRuntime:
 
             with timed_stage(timer, "fetch"):
                 # one batched device->host fetch for both streams' inputs
+                t0 = time.perf_counter()
                 z_np, packed = jax.device_get((z_indices, packed_dev))
+                self._note_fetch(packed.nbytes, time.perf_counter() - t0)
 
             with timed_stage(timer, "h_rans"):
                 h_bit_stream = self.h_coder.encode_packed(packed)
@@ -409,35 +455,73 @@ class CodecRuntime:
         if self.mesh is not None:
             from ..parallel import shard_batch
             x01 = shard_batch(x01, self.mesh)
-        with timed_stage(timer, "encode_device"):
-            z_indices, h, _ = self._encode(self.params, x01)
-            chunk_plans = self.h_coder.compress_plan_chunks(h, q_idx=0)
+
         stack_shape = (H // self.spec.tile_px, W // self.spec.tile_px)
         n_tiles = stack_shape[0] * stack_shape[1]
 
-        # the z fetch + z rANS ride a worker thread under the bottleneck
-        # chunks' device compute
-        def _z_all():
+        with timed_stage(timer, "encode_device"):
+            z_indices, h, _ = self._encode(self.params, x01)
+
+        # route by predicted time at the measured link bandwidth: packed
+        # plane bytes are a static function of the latent geometry
+        # ((4 planes x 2 rows x int16) x B x Hl x Wl x Cq/4 =
+        # 4*B*Hl*Wl*quant_dim), known before any fetch
+        n_chunks = len(self.h_coder._chunk_batches(B))
+        packed_bytes = 4 * B * int(h.shape[1]) * int(h.shape[2]) \
+            * self.spec.quant_dim
+        use_dev = self._use_device_encode(packed_bytes, n_chunks)
+
+        if use_dev:
+            t0 = time.perf_counter()
+            with timed_stage(timer, "h_rans"):
+                h_streams, _ = self.h_coder.compress_device(
+                    h, q_idx=0,
+                    interpret=jax.default_backend() != "tpu")
+            dev_s = time.perf_counter() - t0
+            stream_bytes = sum(len(s) for s in h_streams)
+            if self._link_bw:
+                # peel the fetch share off the measurement -> kernel EMA
+                kern = max(dev_s - stream_bytes / self._link_bw, 1e-3)
+                self._dev_enc_chunk_s = (0.5 * self._dev_enc_chunk_s
+                                         + 0.5 * kern / max(n_chunks, 1))
+                if packed_bytes and stream_bytes:
+                    self._dev_shrink = (0.5 * self._dev_shrink
+                                        + 0.5 * packed_bytes / stream_bytes)
             with timed_stage(timer, "z_rans"):
                 z_np = jax.device_get(z_indices)
-                return [self._encode_z(
+                z_streams = [self._encode_z(
                     z_np[b * n_tiles:(b + 1) * n_tiles].reshape(-1))
                     for b in range(B)]
+        else:
+            with timed_stage(timer, "encode_device"):
+                z_indices, h, _ = self._encode(self.params, x01)
+                chunk_plans = self.h_coder.compress_plan_chunks(h, q_idx=0)
 
-        z_future = self._io.submit(_z_all)
+            # the z fetch + z rANS ride a worker thread under the
+            # bottleneck chunks' device compute
+            def _z_all():
+                with timed_stage(timer, "z_rans"):
+                    z_np = jax.device_get(z_indices)
+                    return [self._encode_z(
+                        z_np[b * n_tiles:(b + 1) * n_tiles].reshape(-1))
+                        for b in range(B)]
 
-        h_streams: list = [None] * B
-        pending = []
-        for start, real, packed_dev, _yh in chunk_plans:
-            with timed_stage(timer, "fetch"):
-                packed = jax.device_get(packed_dev)   # blocks on THIS chunk only
-            pending.append((start, real,
-                            self._io.submit(self.h_coder.encode_packed_many,
-                                            packed)))
-        with timed_stage(timer, "h_rans"):
-            for start, real, fut in pending:
-                h_streams[start:start + real] = fut.result()
-        z_streams = z_future.result()
+            z_future = self._io.submit(_z_all)
+
+            h_streams: list = [None] * B
+            pending = []
+            for start, real, packed_dev, _yh in chunk_plans:
+                with timed_stage(timer, "fetch"):
+                    t0 = time.perf_counter()
+                    packed = jax.device_get(packed_dev)  # blocks on THIS chunk
+                    self._note_fetch(packed.nbytes, time.perf_counter() - t0)
+                pending.append((start, real,
+                                self._io.submit(
+                                    self.h_coder.encode_packed_many, packed)))
+            with timed_stage(timer, "h_rans"):
+                for start, real, fut in pending:
+                    h_streams[start:start + real] = fut.result()
+            z_streams = z_future.result()
 
         feat_shape_1 = (1, h.shape[1], h.shape[2], h.shape[3])
         token_length = n_tiles * int(z_indices.shape[-1])

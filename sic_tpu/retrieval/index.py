@@ -125,6 +125,26 @@ class VectorIndex:
             q = q[None]
         return _topk_ip(self._device_db, q, min(k, self.ntotal))
 
+    def search_many(self, queries, k: int = 5, depth: int = 4):
+        """Pipelined multi-wave search: each wave's host->device upload +
+        dispatch + result materialization runs on a small thread pool, so
+        wave j+1's transfer overlaps wave j's matmul+top_k.  A single
+        serial wave is RTT-bound on a tunneled device (measured 67 ms
+        upload vs 14 ms compute per 256-query wave over 100k vectors,
+        benchmarks/search_breakdown.py); bounded depth keeps the in-flight
+        queue short (unbounded async enqueue degrades the tunnel).
+
+        Returns ``[(scores, indices), ...]`` in wave order.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._device_db is None and self._vecs:
+            self._device_db = jnp.asarray(self.vectors())   # once, serial
+        with ThreadPoolExecutor(max_workers=depth,
+                                thread_name_prefix="sic-search") as ex:
+            futs = [ex.submit(self.search, q, k) for q in queries]
+            return [f.result() for f in futs]
+
     def search(self, query: np.ndarray, k: int = 5
                ) -> Tuple[np.ndarray, np.ndarray]:
         """query (B, D) or (D,) -> (scores (B, k), indices (B, k));

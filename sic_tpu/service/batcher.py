@@ -52,7 +52,14 @@ class _GroupQueue:
     (returning one result per payload) on a single worker thread."""
 
     def __init__(self, dispatch: Callable[[tuple, List[Any]], List[Any]],
-                 window_ms: float, max_batch: int, name: str):
+                 window_ms: float, max_batch: int, name: str,
+                 dispatch_workers: int = 1):
+        """``dispatch_workers > 1`` hands groups to a bounded thread pool
+        instead of running them inline on the collector thread, so group
+        j+1's host->device upload overlaps group j's device compute
+        (double-buffered waves — the RTT-bound small-wave fix for search;
+        the codec batchers keep 1: their dispatches share stateful native
+        coders)."""
         assert max_batch >= 1
         self._dispatch_fn = dispatch
         self.window_s = float(window_ms) / 1000.0
@@ -63,6 +70,11 @@ class _GroupQueue:
         self._closed = False
         self.batches_dispatched = 0
         self.requests_served = 0
+        self._pool = None
+        if dispatch_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=dispatch_workers,
+                                            thread_name_prefix=f"{name}-d")
         self._thread = threading.Thread(target=self._loop, name=name,
                                         daemon=True)
         self._thread.start()
@@ -84,6 +96,8 @@ class _GroupQueue:
             self._closed = True
             self._cv.notify_all()
         self._thread.join()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
 
     def _loop(self):
         while True:
@@ -108,7 +122,10 @@ class _GroupQueue:
                     items = items[:self.max_batch]
                 else:
                     del self._buckets[key]
-            self._run_group(key, items)
+            if self._pool is not None:
+                self._pool.submit(self._run_group, key, items)
+            else:
+                self._run_group(key, items)
 
     def _run_group(self, key: tuple, items: List[tuple]):
         try:
@@ -229,9 +246,11 @@ class SearchBatcher(_GroupQueue):
     batching concurrent requests is THE lever, which is why this defaults
     to a much larger ``max_batch`` than the codec batchers."""
 
-    def __init__(self, window_ms: float = 4.0, max_batch: int = 256):
+    def __init__(self, window_ms: float = 4.0, max_batch: int = 256,
+                 dispatch_workers: int = 2):
         super().__init__(self._search_group, window_ms, max_batch,
-                         name="sic-search-batcher")
+                         name="sic-search-batcher",
+                         dispatch_workers=dispatch_workers)
 
     def _search_group(self, key: tuple, payloads: List[tuple]) -> List[tuple]:
         index = key[0]

@@ -85,3 +85,22 @@ def test_clip_codec_payload_roundtrip():
     zt = cc.text_to_unit_vec(["a photo of an apple"])
     assert zt.shape == (1, 512)
     assert abs(np.linalg.norm(zt[0]) - 1.0) < 1e-4
+
+
+def test_search_many_matches_serial():
+    """Pipelined waves (search_many) return exactly the per-wave serial
+    results, in order."""
+    import numpy as np
+    from sic_tpu.retrieval import VectorIndex
+
+    rng = np.random.default_rng(0)
+    db = rng.normal(size=(500, 32)).astype(np.float32)
+    idx = VectorIndex(32)
+    idx.add_batch(db, [f"d{i}" for i in range(500)])
+    waves = [rng.normal(size=(16, 32)).astype(np.float32) for _ in range(5)]
+    ref = [idx.search(q, k=7) for q in waves]
+    out = idx.search_many(waves, k=7, depth=3)
+    assert len(out) == len(ref)
+    for (s0, i0), (s1, i1) in zip(ref, out):
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-6)
