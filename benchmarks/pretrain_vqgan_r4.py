@@ -1,0 +1,128 @@
+"""Phase A of the round-4 training plan: pretrain the f16 VQGAN.
+
+The reference codec is built ON TOP of a pretrained taming VQGAN (its
+encoder is the frozen feat-stage teacher, its decoder/codebook the
+generative pixel path — codec_sq_fixbpp.py:459-483); the checkpoint is
+an external input there.  With zero egress, this script produces that
+prerequisite locally: the conv-only VQGAN trains from scratch far faster
+than the full hybrid codec (no ViT, no bottleneck), and the codec phase
+(train_r4.py --vqgan_ckpt) then starts from a teacher that actually
+reconstructs — the same division of labor as the reference.
+
+Loss: L1 + 0.5*(1 - MS-SSIM) + codebook commitment (the reference's
+VQLPIPSWithDiscriminator minus GAN/LPIPS — PSNR-first, no VGG ckpt in
+this env).
+
+    python benchmarks/pretrain_vqgan_r4.py --steps 6000 \
+        --ckpt_out checkpoints/vqgan_r4 --out PRETRAIN_VQGAN_r04.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/sic_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import numpy as np
+
+from corpus_local import heldout_eval_set, load_corpus
+from train_convergence import psnr
+
+
+def run(args):
+    import jax.numpy as jnp
+    import optax
+
+    from sic_tpu.config import small_spec
+    from sic_tpu.metrics import ms_ssim
+    from sic_tpu.models.vqgan import VQGAN
+    from train_r4 import PooledSampler
+
+    spec = small_spec().vqgan
+    model = VQGAN(spec)
+    rng = jax.random.PRNGKey(args.seed)
+    dummy = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    params = jax.jit(model.init)(rng, dummy)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    tx = optax.adam(args.lr, b1=0.5, b2=0.9)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, x):
+        x_hat, emb_loss, _ = model.apply(params, x)
+        rec = jnp.mean(jnp.abs(x - x_hat))
+        p = jnp.mean(1.0 - ms_ssim(x, x_hat))
+        loss = rec + 0.5 * p + emb_loss
+        return loss, (rec, p, emb_loss, x_hat)
+
+    @jax.jit
+    def step(params, opt_state, x):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    decode_fn = jax.jit(lambda p, x: model.apply(p, x)[0])
+
+    train_imgs, held = load_corpus()
+    sampler = PooledSampler(train_imgs, px=256, seed=args.seed,
+                            pool=args.pool)
+    val_x = heldout_eval_set(held, px=256, n=8, procedural_frac=0.0)
+
+    print(f"# VQGAN {n_params/1e6:.1f}M params on "
+          f"{jax.devices()[0].device_kind}", file=sys.stderr, flush=True)
+    hist = {"step": [], "loss": [], "rec": [], "val_psnr": []}
+    t0 = time.time()
+    for i in range(args.steps):
+        params, opt_state, loss, aux = step(
+            params, opt_state, jnp.asarray(sampler.batch(args.batch)))
+        if i % args.eval_every == 0 or i == args.steps - 1:
+            l = float(loss)
+            xh = np.asarray(decode_fn(params, jnp.asarray(val_x)))
+            vp = psnr(xh, val_x)
+            hist["step"].append(i)
+            hist["loss"].append(round(l, 4))
+            hist["rec"].append(round(float(aux[0]), 4))
+            hist["val_psnr"].append(round(vp, 3))
+            print(f"# step {i}: loss {l:.4f} rec {float(aux[0]):.4f} "
+                  f"val_psnr {vp:.2f} ({time.time() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+    sampler.stop()
+
+    ckpt_path = None
+    if args.ckpt_out:
+        from sic_tpu.checkpoint import save_codec_params
+        ckpt_path = save_codec_params(Path(args.ckpt_out).resolve(), params)
+        print(f"# checkpoint -> {ckpt_path}", file=sys.stderr, flush=True)
+
+    return {"metric": "r4_vqgan_pretrain", "params_M": round(n_params/1e6, 1),
+            "steps": args.steps, "batch": args.batch, "lr": args.lr,
+            "history": hist, "final_val_psnr": hist["val_psnr"][-1],
+            "wall_s": round(time.time() - t0, 1), "ckpt": ckpt_path}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default="PRETRAIN_VQGAN_r04.json")
+    ap.add_argument("--ckpt_out", type=str, default=None)
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--pool", type=int, default=2048)
+    ap.add_argument("--eval_every", type=int, default=250)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    summary = run(args)
+    Path(args.out).write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
