@@ -51,3 +51,49 @@ def test_pix_stage_psnr_does_not_degrade(summary):
     # at this step count we require improvement-or-hold; the committed
     # TRAIN artifact demonstrates the longer run's strict improvement
     assert summary["pix_psnr_end"] >= summary["pix_psnr_start"] - 0.1, summary
+
+
+def _simulate_hold(lmbda_list, gamma=0.5, drift=0.97, epochs=40,
+                   band=(0.03, 0.06), b0=0.12, lam_ref=1e-3, seed=0):
+    """Closed-loop rate plant driven by the REAL controller
+    (TrainingStrategy.adjust_lmbda_idx): equilibrium bpp responds to
+    lambda with elasticity ``gamma`` (bpp ~ (lam_ref/lam)^gamma), the
+    base rate drifts down ``drift``/epoch (the entropy model keeps
+    improving — the r3 failure mode), plus multiplicative noise.
+    Returns the longest in-band streak."""
+    from sic_tpu.train import StageSpec, TrainingStrategy
+
+    rng = np.random.default_rng(seed)
+    strategy = TrainingStrategy(
+        learning_rate=1e-4, start_epoch=0,
+        stages=(StageSpec(0, 0, lmbda_list, band[1], band[0]),
+                StageSpec(0, 0, lmbda_list, band[1], band[0]),
+                StageSpec(90, len(lmbda_list) // 2, lmbda_list,
+                          band[1], band[0])))
+    idx = len(lmbda_list) // 2
+    base = b0
+    best = streak = 0
+    for e in range(epochs):
+        lam = lmbda_list[idx]
+        bpp = base * (lam_ref / lam) ** gamma \
+            * float(np.exp(rng.normal(0, 0.03)))
+        streak = streak + 1 if band[0] <= bpp <= band[1] else 0
+        best = max(best, streak)
+        idx = strategy.adjust_lmbda_idx(e, idx, bpp)
+        base *= drift
+    return best
+
+
+def test_controller_holds_band_with_fine_ladder():
+    """The round-3 verdict's core finding, as a unit property: a
+    reference-style finely-spaced ladder (~15%% steps, cf. the 4-8%%
+    steps of config_qp3_256train.yaml stage2) lets the +-1-per-epoch
+    controller HOLD a +-25%% band against downward rate drift, while the
+    old x2 ladder out-jumps the band and cannot."""
+    fine = tuple(1e-4 * (300.0) ** (i / 39) for i in range(40))
+    coarse = tuple(1e-4 * 2.0 ** i for i in range(9))
+    band = (0.045, 0.075)    # +-25% around 0.06
+    held_fine = _simulate_hold(fine, band=band)
+    held_coarse = _simulate_hold(coarse, band=band)
+    assert held_fine >= 3, held_fine
+    assert held_coarse < held_fine, (held_coarse, held_fine)
