@@ -261,6 +261,11 @@ def run(rt):
     bits = len(encs[-1]["z_bit_stream"]) * 8 + len(encs[-1]["h_bit_stream"]) * 8
     stages = {f"stage_ms/{k}": round(v, 1) for k, v in timer.stages.items()}
     stages["throughput_batched_decode_img_s"] = round(ITERS / dt_batched, 3)
+    # link-policy observability (round-4): which encode path the runtime's
+    # bandwidth-keyed router chose, and the bandwidth it measured
+    stages["encode_link_mb_s"] = (round(rt._link_bw / 1e6, 1)
+                                  if rt._link_bw else None)
+    stages["encode_path_counts"] = dict(rt.encode_path_counts)
     return ITERS / min(dt_many, dt_batched, dt_pipe), \
         {"total_bpp": bits / (h * w)}, stages, encs
 

@@ -280,6 +280,7 @@ class CodecRuntime:
         self._link_bw: Optional[float] = None      # bytes/s EMA
         self._dev_enc_chunk_s: float = 0.09        # kernel s/chunk EMA
         self._dev_shrink: float = 8.0
+        self.encode_path_counts = {"device": 0, "host": 0}  # observability
 
     def _note_fetch(self, nbytes: int, secs: float) -> None:
         """Update the link-bandwidth estimate from a real device fetch
@@ -303,6 +304,9 @@ class CodecRuntime:
         t_dev = (n_chunks * self._dev_enc_chunk_s
                  + packed_bytes / self._dev_shrink / self._link_bw)
         return t_dev < t_host
+
+    def _count_path(self, use_dev: bool) -> None:
+        self.encode_path_counts["device" if use_dev else "host"] += 1
 
     def _use_device_entropy(self, h_bit_stream: bytes, latent_shape) -> bool:
         """Decide the h-stream decode path.  The on-device Pallas decoder
@@ -385,6 +389,7 @@ class CodecRuntime:
             use_dev_enc = self._use_device_encode(pb, 1)
         else:
             use_dev_enc = False
+        self._count_path(use_dev_enc)
         if use_dev_enc:
             with timed_stage(timer, "encode_device"):
                 z_indices, h, _ = self._encode(self.params, x01)
@@ -470,6 +475,7 @@ class CodecRuntime:
         packed_bytes = 4 * B * int(h.shape[1]) * int(h.shape[2]) \
             * self.spec.quant_dim
         use_dev = self._use_device_encode(packed_bytes, n_chunks)
+        self._count_path(use_dev)
 
         if use_dev:
             t0 = time.perf_counter()
