@@ -83,8 +83,14 @@ def run(args):
     for i in range(args.steps):
         params, opt_state, loss, aux = step(
             params, opt_state, jnp.asarray(sampler.batch(args.batch)))
+        l = float(loss)   # HONEST STEP FENCE: without a per-step
+        # materialization the tunnel pins every pending step's host
+        # buffers — measured 130 GB RSS -> OOM kill at ~5000 unfenced
+        # steps (25 MB input batch each, never released)
+        if i and args.ckpt_out and i % 1000 == 0:
+            from sic_tpu.checkpoint import save_codec_params
+            save_codec_params(Path(args.ckpt_out).resolve(), params)
         if i % args.eval_every == 0 or i == args.steps - 1:
-            l = float(loss)
             xh = np.asarray(decode_fn(params, jnp.asarray(val_x)))
             vp = psnr(xh, val_x)
             hist["step"].append(i)
