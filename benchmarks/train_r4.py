@@ -81,6 +81,12 @@ class PooledSampler:
         idx = self.rng.integers(0, len(self.pool), size=n)
         return self.pool[idx].astype(np.float32) / 127.5 - 1.0
 
+    def batch_u8(self, n: int) -> np.ndarray:
+        """uint8 view for on-device normalization: 4x less host->device
+        upload per step — the step-time floor on a slow link."""
+        idx = self.rng.integers(0, len(self.pool), size=n)
+        return self.pool[idx]
+
     def stop(self):
         self._stop = True
 
@@ -202,12 +208,23 @@ def run(args):
         step_fn = pix_step if stage == "pix" else feat_step
         te = time.time()
         loss_key = "train/ae_loss" if stage == "pix" else "train/align_loss"
+        # u8 upload + on-device normalization (4x less tunnel traffic) and
+        # a bounded fence window: an unfenced loop pins every step's host
+        # buffers (130 GB RSS -> OOM at ~5k steps); a per-step fence
+        # serializes upload with compute (3x step time) — fencing step
+        # i-3 keeps overlap with <= 3 uploads in flight
+        from collections import deque
+        to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 127.5 - 1.0)
+        pending = deque()
+        loss = 0.0
         for i in range(args.steps_per_epoch):
-            trainer.state, logs = step_fn(trainer.state,
-                                          jnp.asarray(sampler.batch(args.batch)))
-            loss = float(logs[loss_key])   # HONEST STEP FENCE: unfenced
-            # steps pin their host input buffers in the tunnel client —
-            # measured 130 GB RSS -> OOM kill after ~5k unfenced steps
+            xb = to_f32(jnp.asarray(sampler.batch_u8(args.batch)))
+            trainer.state, logs = step_fn(trainer.state, xb)
+            pending.append(logs[loss_key])
+            if len(pending) > 3:
+                loss = float(pending.popleft())
+        while pending:
+            loss = float(pending.popleft())
         hist["step_s"].append((time.time() - te) / args.steps_per_epoch)
 
         state = trainer.state
@@ -235,6 +252,10 @@ def run(args):
               f"lam {lam_before:.5g} idx {idx_before}"
               + (f"->{idx_after}" if idx_after is not None else "")
               + f" ({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+        if args.ckpt_out and epoch % 8 == 7:
+            from sic_tpu.checkpoint import save_codec_params
+            save_codec_params(Path(args.ckpt_out).resolve(),
+                              {"params": trainer.state.params["params"]})
     sampler.stop()
     train_wall = time.time() - t0
 
