@@ -151,7 +151,9 @@ def run(args):
         img_cfg=ImgLossCfg(disc_ndf=32, disc_num_layers=2,
                            perceptual="msssim", disc_start=disc_start,
                            disc_weight=args.disc_weight),
-        tune_titok=True, codec_params=codec_params)
+        tune_titok=True, codec_params=codec_params,
+        donate=True)   # buffer donation: without it, pipelined steps keep
+    # multiple 196M-param state copies live and HBM exhausts mid-epoch
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(state.params))
 
@@ -221,7 +223,7 @@ def run(args):
             xb = to_f32(jnp.asarray(sampler.batch_u8(args.batch)))
             trainer.state, logs = step_fn(trainer.state, xb)
             pending.append(logs[loss_key])
-            if len(pending) > 3:
+            if len(pending) > 2:
                 loss = float(pending.popleft())
         while pending:
             loss = float(pending.popleft())
