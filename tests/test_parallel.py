@@ -261,6 +261,21 @@ def _named_and_cells_params(spec):
     return p0, p1
 
 
+def test_cell_partition_math():
+    """Cell partitioning of the shipped trunk geometries (fast-tier unit
+    coverage; the full layout/forward/grad parity runs slow-tier)."""
+    from sic_tpu.models.hybrid import cell_gates, cell_partition
+
+    assert cell_partition(24, (3, 7, 11, 15, 19)) == 4      # flagship
+    assert cell_gates(24, (3, 7, 11, 15, 19)) == [1.0] * 5 + [0.0]
+    assert cell_partition(8, (1, 3, 5, 7)) == 2             # small_spec
+    assert cell_gates(8, (1, 3, 5, 7)) == [1.0] * 4
+    assert cell_partition(2, (0, 1)) == 1                   # pp test spec
+    assert cell_partition(2, (3, 7)) == 2                   # no live inserts
+    assert cell_gates(2, (3, 7)) == [0.0]
+
+
+@pytest.mark.slow  # full-tier: two 256-px codec inits + applies
 def test_hybrid_cells_layout_matches_sequential():
     """The stacked-cell trunk layout (PPConfig, nn.scan execution) is
     BIT-EXACT vs the named per-layer trunk, and the layout converters
