@@ -91,6 +91,68 @@ class PooledSampler:
         self._stop = True
 
 
+class DeviceCropPool:
+    """HBM-resident training pool: ONE bulk upload, then each batch is a
+    jitted gather + on-device flip/rot augmentation keyed by the step
+    counter — per-step host->device traffic is a single scalar.
+
+    Exists because the tunnel bandwidth is not a constant: measured
+    2.8 MB/s mid-run (vs ~40 healthy), at which even uint8 batch uploads
+    (3 MB) dominate the 0.4 s train step.  Fresh crops trickle in between
+    epochs (a small host-generated chunk scattered into the pool), so the
+    corpus keeps moving at ~12 MB/epoch instead of ~750 MB."""
+
+    def __init__(self, host_sampler: CropSampler, n_pool: int, batch: int,
+                 seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self.src = host_sampler
+        px = host_sampler.px
+        pool = np.empty((n_pool, px, px, 3), np.uint8)
+        for i in range(n_pool):
+            pool[i] = np.clip((host_sampler.batch(1)[0] + 1.0) * 127.5,
+                              0, 255).astype(np.uint8)
+        self.dev_pool = jax.device_put(pool)
+        self.batch = batch
+        self._key = jax.random.PRNGKey(seed + 17)
+        self._step = 0
+
+        @jax.jit
+        def draw(dev_pool, key, step):
+            k = jax.random.fold_in(key, step)
+            ki, kf, kr = jax.random.split(k, 3)
+            idx = jax.random.randint(ki, (batch,), 0, n_pool)
+            x = dev_pool[idx].astype(jnp.float32) / 127.5 - 1.0
+            flip = jax.random.bernoulli(kf, shape=(batch,))
+            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1], x)
+            rot = jax.random.randint(kr, (batch,), 0, 4)
+            xs = jnp.stack([x, jnp.rot90(x, 1, (1, 2)),
+                            jnp.rot90(x, 2, (1, 2)),
+                            jnp.rot90(x, 3, (1, 2))])
+            return xs[rot, jnp.arange(batch)]
+
+        @jax.jit
+        def scatter(dev_pool, fresh, at):
+            return dev_pool.at[at].set(fresh)
+
+        self._draw = draw
+        self._scatter = scatter
+
+    def next(self):
+        self._step += 1
+        return self._draw(self.dev_pool, self._key, self._step)
+
+    def refresh(self, n: int = 48):
+        """Scatter ``n`` fresh host crops into the device pool (call
+        between epochs; ~n*200KB upload)."""
+        fresh = np.clip((self.src.batch(n) + 1.0) * 127.5,
+                        0, 255).astype(np.uint8)
+        rng = np.random.default_rng(1000 + self._step)
+        at = rng.choice(self.dev_pool.shape[0], size=n, replace=False)
+        self.dev_pool = self._scatter(self.dev_pool, fresh, at)
+
+
 def recon_grid(pairs, path, cols: int = 4):
     """[(gt, recon), ...] float[-1,1] -> one PNG grid (gt above recon)."""
     from PIL import Image
@@ -158,11 +220,16 @@ def run(args):
                    for p in jax.tree.leaves(state.params))
 
     train_imgs, held = load_corpus()
-    sampler = PooledSampler(train_imgs, px=256, seed=args.seed,
-                            pool=args.pool)
+    sampler = DeviceCropPool(
+        CropSampler(train_imgs, px=256, seed=args.seed),
+        n_pool=args.pool, batch=args.batch, seed=args.seed)
     val_x = heldout_eval_set(held, px=256, n=args.val_n,
                              procedural_frac=0.0)   # held-out REAL images
     val_mix = heldout_eval_set(held, px=256, n=16, procedural_frac=0.25)
+    # pre-place the val sets: re-uploading 12 MB per eval at a degraded
+    # link would cost more than the eval itself
+    val_x_dev = jax.device_put(jnp.asarray(val_x))
+    val_mix_dev = jax.device_put(jnp.asarray(val_mix))
     print(f"# {n_params/1e6:.0f}M params; corpus {len(train_imgs)} imgs, "
           f"{len(held)} held out; ladder {ladder[0]}..{ladder[-1]} "
           f"({args.ladder_n}), band {band}", file=sys.stderr, flush=True)
@@ -173,9 +240,9 @@ def run(args):
     def val_metrics():
         bpps = []
         for i in range(0, len(val_mix), args.batch):
-            m = eval_step(state, jnp.asarray(val_mix[i:i + args.batch]))
+            m = eval_step(state, val_mix_dev[i:i + args.batch])
             bpps.append(float(m["val/bpp"]))
-        xh = np.asarray(decode_fn(state.params, jnp.asarray(val_x[:8])))
+        xh = np.asarray(decode_fn(state.params, val_x_dev[:8]))
         return float(np.mean(bpps)), psnr(xh, val_x[:8])
 
     trainer = Trainer(codec, state, (feat_step, pix_step, eval_step),
@@ -210,23 +277,20 @@ def run(args):
         step_fn = pix_step if stage == "pix" else feat_step
         te = time.time()
         loss_key = "train/ae_loss" if stage == "pix" else "train/align_loss"
-        # u8 upload + on-device normalization (4x less tunnel traffic) and
-        # a bounded fence window: an unfenced loop pins every step's host
-        # buffers (130 GB RSS -> OOM at ~5k steps); a per-step fence
-        # serializes upload with compute (3x step time) — fencing step
-        # i-3 keeps overlap with <= 3 uploads in flight
+        # device-resident data (DeviceCropPool) + bounded fence window: an
+        # unfenced loop pins host buffers until OOM; fencing step i-2
+        # keeps overlap with bounded in-flight state (donated buffers)
         from collections import deque
-        to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 127.5 - 1.0)
         pending = deque()
         loss = 0.0
         for i in range(args.steps_per_epoch):
-            xb = to_f32(jnp.asarray(sampler.batch_u8(args.batch)))
-            trainer.state, logs = step_fn(trainer.state, xb)
+            trainer.state, logs = step_fn(trainer.state, sampler.next())
             pending.append(logs[loss_key])
             if len(pending) > 2:
                 loss = float(pending.popleft())
         while pending:
             loss = float(pending.popleft())
+        sampler.refresh()
         hist["step_s"].append((time.time() - te) / args.steps_per_epoch)
 
         state = trainer.state
