@@ -247,6 +247,37 @@ def run(args):
 
     trainer = Trainer(codec, state, (feat_step, pix_step, eval_step),
                       strategy)
+
+    # K steps per device dispatch: each dispatch marshals the ~1000-leaf
+    # train state over the tunnel, and under congestion that per-dispatch
+    # overhead (~1.4 s measured) dwarfs the 0.35 s compute step.  A
+    # lax.scan over K steps — data drawn from the HBM pool INSIDE the
+    # scan — pays it once per K.  (The jitted per-step fns inline when
+    # traced here; losses come back as one (K,) array.)
+    K = args.steps_per_dispatch
+
+    def make_multi(step_fn, loss_key):
+        def run(state, dev_pool, key, step0):
+            def body(st, i):
+                k = jax.random.fold_in(key, step0 + i)
+                ki, kf, kr = jax.random.split(k, 3)
+                idx = jax.random.randint(ki, (args.batch,), 0,
+                                         dev_pool.shape[0])
+                x = dev_pool[idx].astype(jnp.float32) / 127.5 - 1.0
+                flip = jax.random.bernoulli(kf, shape=(args.batch,))
+                x = jnp.where(flip[:, None, None, None], x[:, :, ::-1], x)
+                rot = jax.random.randint(kr, (args.batch,), 0, 4)
+                xs = jnp.stack([x, jnp.rot90(x, 1, (1, 2)),
+                                jnp.rot90(x, 2, (1, 2)),
+                                jnp.rot90(x, 3, (1, 2))])
+                x = xs[rot, jnp.arange(args.batch)]
+                st, logs = step_fn(st, x)
+                return st, logs[loss_key]
+            return jax.lax.scan(body, state, jnp.arange(K))
+        return jax.jit(run, donate_argnums=(0,))
+
+    feat_multi = make_multi(feat_step, "train/align_loss")
+    pix_multi = make_multi(pix_step, "train/ae_loss")
     hist = {"val_bpp": [], "val_psnr": [], "lmbda": [], "lmbda_idx": [],
             "stage": [], "controller_moves": [], "step_s": []}
     t0 = time.time()
@@ -276,20 +307,15 @@ def run(args):
             stage, sspec = strategy.stage_at(epoch)
         step_fn = pix_step if stage == "pix" else feat_step
         te = time.time()
-        loss_key = "train/ae_loss" if stage == "pix" else "train/align_loss"
-        # device-resident data (DeviceCropPool) + bounded fence window: an
-        # unfenced loop pins host buffers until OOM; fencing step i-2
-        # keeps overlap with bounded in-flight state (donated buffers)
-        from collections import deque
-        pending = deque()
+        multi = pix_multi if stage == "pix" else feat_multi
+        assert args.steps_per_epoch % K == 0, (args.steps_per_epoch, K)
         loss = 0.0
-        for i in range(args.steps_per_epoch):
-            trainer.state, logs = step_fn(trainer.state, sampler.next())
-            pending.append(logs[loss_key])
-            if len(pending) > 2:
-                loss = float(pending.popleft())
-        while pending:
-            loss = float(pending.popleft())
+        for i in range(args.steps_per_epoch // K):
+            trainer.state, losses = multi(
+                trainer.state, sampler.dev_pool, sampler._key,
+                sampler._step)
+            sampler._step += K
+            loss = float(losses[-1])    # fence: one host sync per K steps
         sampler.refresh()
         hist["step_s"].append((time.time() - te) / args.steps_per_epoch)
 
@@ -417,6 +443,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--steps_per_epoch", type=int, default=250)
+    ap.add_argument("--steps_per_dispatch", type=int, default=25,
+                    help="train steps fused into one device dispatch "
+                         "(lax.scan); amortizes per-dispatch tunnel "
+                         "marshaling of the ~1000-leaf state")
     ap.add_argument("--feat_epochs", type=int, nargs=2, default=(2, 2))
     ap.add_argument("--pix_epochs", type=int, default=48)
     ap.add_argument("--band", type=float, nargs=2, default=(0.03, 0.06))
