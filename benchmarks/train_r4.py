@@ -348,6 +348,16 @@ def run(args):
             from sic_tpu.checkpoint import save_codec_params
             save_codec_params(Path(args.ckpt_out).resolve(),
                               {"params": trainer.state.params["params"]})
+        if args.out:
+            # truncation-proof: the trajectory so far is always on disk
+            Path(str(args.out) + ".partial").write_text(json.dumps(
+                {"metric": "r4_midscale_train_partial", "band": list(band),
+                 "epochs_done": epoch + 1,
+                 "val_bpp_trajectory": hist["val_bpp"],
+                 "val_psnr_trajectory": hist["val_psnr"],
+                 "lmbda_trajectory": hist["lmbda"],
+                 "stage_trajectory": hist["stage"],
+                 "controller_moves": hist["controller_moves"]}, indent=1))
     sampler.stop()
     train_wall = time.time() - t0
 
