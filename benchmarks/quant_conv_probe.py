@@ -72,9 +72,12 @@ def main():
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=feature_group_count)
 
+    # all timed fns reduce to a SCALAR: fetching the conv output tensor
+    # (tens of MB) would measure the tunnel, not the MXU
     @jax.jit
     def f_bf16(x, w):
-        return conv(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+        return jnp.sum(conv(x.astype(jnp.bfloat16),
+                            w.astype(jnp.bfloat16)).astype(jnp.float32))
 
     @jax.jit
     def f_int8(x, w, sx, sw):
@@ -82,12 +85,13 @@ def main():
             x, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
-        return y.astype(jnp.float32) * sx * sw   # per-channel rescale
+        return jnp.sum(y.astype(jnp.float32) * sx * sw)
 
     @jax.jit
     def f_bf16_dw(x, w):
-        return conv(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                    feature_group_count=x.shape[-1])
+        return jnp.sum(conv(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                            feature_group_count=x.shape[-1])
+                       .astype(jnp.float32))
 
     out = {"batch": B, "device": dev.device_kind, "cases": {}}
     for tag, xshape, wshape in cases:
