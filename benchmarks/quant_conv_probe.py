@@ -99,11 +99,17 @@ def main():
         if wshape is None:   # depthwise 5x5
             C = xshape[-1]
             wshape = (5, 5, 1, C)
-            mk = lambda s, xs=xshape, ws=wshape: (
-                jnp.asarray(np.random.default_rng(s).standard_normal(
-                    xs).astype(np.float32)),
-                jnp.asarray(np.random.default_rng(s + 1).standard_normal(
-                    ws).astype(np.float32)))
+            @jax.jit
+            def gen_dw(key, xs=xshape, ws=wshape):
+                kx, kw = jax.random.split(key)
+                return (jax.random.normal(kx, xs, jnp.float32),
+                        jax.random.normal(kw, ws, jnp.float32))
+
+            def mk(s):
+                a = gen_dw(jax.random.PRNGKey(2000 + s))
+                for t in a:
+                    t.block_until_ready()
+                return a
             t_b = time_fn(lambda x, w: f_bf16_dw(x, w), mk)
             out["cases"][tag] = {"bf16_ms": round(1e3 * t_b, 3),
                                  "int8_ms": None,
@@ -112,22 +118,35 @@ def main():
                   file=sys.stderr, flush=True)
             continue
 
-        def mk_f(s, xs=xshape, ws=wshape):
-            rr = np.random.default_rng(s)
-            return (jnp.asarray(rr.standard_normal(xs).astype(np.float32)),
-                    jnp.asarray(rr.standard_normal(ws).astype(np.float32)))
+        # fresh inputs GENERATED ON DEVICE per rep (uploading 30+ MB
+        # per rep would measure the link); materialized before timing
+        @jax.jit
+        def gen_f(key, xs=xshape, ws=wshape):
+            kx, kw = jax.random.split(key)
+            return (jax.random.normal(kx, xs, jnp.float32),
+                    jax.random.normal(kw, ws, jnp.float32))
 
-        def mk_q(s, xs=xshape, ws=wshape):
-            rr = np.random.default_rng(s)
-            x = rr.standard_normal(xs).astype(np.float32)
-            w = rr.standard_normal(ws).astype(np.float32)
-            xq = np.clip(np.round(x / (np.abs(x).max() / 127)), -127,
-                         127).astype(np.int8)
-            wq = np.clip(np.round(w / (np.abs(w).max() / 127)), -127,
-                         127).astype(np.int8)
-            return (jnp.asarray(xq), jnp.asarray(wq),
-                    jnp.float32(np.abs(x).max() / 127),
-                    jnp.float32(np.abs(w).max() / 127))
+        @jax.jit
+        def gen_q(key, xs=xshape, ws=wshape):
+            kx, kw = jax.random.split(key)
+            x = jax.random.normal(kx, xs, jnp.float32)
+            w = jax.random.normal(kw, ws, jnp.float32)
+            sx = jnp.max(jnp.abs(x)) / 127.0
+            sw = jnp.max(jnp.abs(w)) / 127.0
+            xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+            wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+            return xq, wq, sx, sw
+
+        def _ready(args):
+            for a in args:
+                a.block_until_ready()
+            return args
+
+        def mk_f(s):
+            return _ready(gen_f(jax.random.PRNGKey(s)))
+
+        def mk_q(s):
+            return _ready(gen_q(jax.random.PRNGKey(1000 + s)))
 
         t_b = time_fn(f_bf16, mk_f)
         t_q = time_fn(f_int8, mk_q)
