@@ -212,7 +212,8 @@ def run(args):
         spec, strategy, jax.random.PRNGKey(args.seed),
         img_cfg=ImgLossCfg(disc_ndf=32, disc_num_layers=2,
                            perceptual="msssim", disc_start=disc_start,
-                           disc_weight=args.disc_weight),
+                           disc_weight=args.disc_weight,
+                           align_weight=args.pix_align),
         tune_titok=True, codec_params=codec_params,
         donate=True)   # buffer donation: without it, pipelined steps keep
     # multiple 196M-param state copies live and HBM exhausts mid-epoch
@@ -470,6 +471,9 @@ def main():
     ap.add_argument("--disc_at", type=float, default=0.85,
                     help="fraction of pix steps after which the GAN starts")
     ap.add_argument("--disc_weight", type=float, default=0.3)
+    ap.add_argument("--pix_align", type=float, default=0.0,
+                    help="teacher-alignment anchor weight in the pix "
+                         "objective (ImgLossCfg.align_weight)")
     ap.add_argument("--pool", type=int, default=3072)
     ap.add_argument("--val_n", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)

@@ -50,6 +50,14 @@ class ImgLossCfg:
     disc_ndf: int = 64
     disc_loss: str = "hinge"
     perceptual: str = "lpips"
+    align_weight: float = 0.0
+    # ``align_weight > 0`` keeps the feat-stage teacher-alignment terms
+    # (latent MSE + index CE against the frozen VQGAN teacher) in the pix
+    # objective at this weight.  The reference's pix stage drops them
+    # (codec_sq_fixbpp.py:739-777) because it starts from a CONVERGED
+    # feat model; a from-scratch run that enters pix mid-alignment loses
+    # both rate and PSNR without the anchor (round-4 measured: val bpp
+    # 0.057 -> 0.000 and PSNR 14.7 -> 12.3 in 10 unanchored pix epochs).
 
 
 def _last_conv_apply(h_pre, w, b):
@@ -130,6 +138,9 @@ def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
         lmbda = state.current_lmbda()
         disc_factor = adopt_weight(img_cfg.disc_factor, state.global_step,
                                    img_cfg.disc_start)
+        if img_cfg.align_weight > 0.0:
+            teacher_latent, teacher_idx = codec.apply(
+                state.params, x, method=Codec.encode_to_vqgan)
         trainable, frozen = _split(state.params)
 
         def gen_loss_fn(trainable):
@@ -166,7 +177,19 @@ def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
             loss = (nll + d_weight * disc_factor * g_loss
                     + img_cfg.codebook_weight * out["vq_loss"]
                     + lmbda * out["bpp_loss"])
+            if img_cfg.align_weight > 0.0:
+                align, _ = feat_align_loss(
+                    out["vqgan_latent"], out["logits"], teacher_latent,
+                    teacher_idx, out["vq_loss"], out["bpp_loss"],
+                    mse_weight=feat_cfg.mse_weight,
+                    ce_weight=feat_cfg.ce_weight,
+                    vq_weight=0.0, sq_weight=0.0)  # vq/rate already above
+                loss = loss + img_cfg.align_weight * align
+                extra_logs = {"train/pix_align_loss": align}
+            else:
+                extra_logs = {}
             logs = {
+                **extra_logs,
                 "train/ae_loss": loss, "train/nll_loss": nll,
                 "train/rec_loss": rec, "train/p_loss": p,
                 "train/g_loss": g_loss, "train/d_weight": d_weight,
