@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--outdir", type=str, default="artifacts_r04")
     ap.add_argument("--config", type=str, default="configs/config_small_r4.yaml")
     ap.add_argument("--n_eval", type=int, default=8)
+    ap.add_argument("--tag", type=str, default="r04")
     args = ap.parse_args()
 
     out = Path(args.outdir)
@@ -57,7 +58,7 @@ def main():
 
     # 2. sic-evaluate over the held-out set (real bitstreams per image)
     from sic_tpu.cli import evaluate as eval_cli
-    ev_path = out / "EVAL_r04.json"
+    ev_path = out / f"EVAL_{args.tag}.json"
     with open(ev_path, "w") as f:
         import contextlib
         import io as _io
@@ -99,16 +100,15 @@ def main():
         "decoded_psnr": [round(p, 3) for p in psnrs],
         "decoded_psnr_mean": round(float(np.mean(psnrs)), 3),
     }
-    (out / "C2DF_ROUNDTRIP_r04.json").write_text(json.dumps(c2df_report,
+    (out / f"C2DF_ROUNDTRIP_{args.tag}.json").write_text(json.dumps(c2df_report,
                                                             indent=1))
     print("# c2df roundtrip:", json.dumps(c2df_report), file=sys.stderr)
 
-    # 4. copy run artifacts into the repo
-    for src, dst in [(args.train_json, "TRAIN_r04.json"),
-                     (args.pretrain_json, "PRETRAIN_VQGAN_r04.json"),
-                     (args.recon, "recon_r04.png")]:
+    # 4. copy run artifacts into the repo (dst keeps the source basename,
+    # so round-5 runs land as TRAIN_r05.json etc. without edits here)
+    for src in [args.train_json, args.pretrain_json, args.recon]:
         if Path(src).exists():
-            shutil.copy(src, dst)
+            shutil.copy(src, Path(src).name)
     print("# artifacts finalized ->", out, file=sys.stderr)
 
 

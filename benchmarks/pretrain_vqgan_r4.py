@@ -51,6 +51,16 @@ def run(args):
     dummy = jnp.zeros((1, 256, 256, 3), jnp.float32)
     params = jax.jit(model.init)(rng, dummy)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    if args.resume:
+        # continue a previous pretrain (round-4 verdict: the teacher was
+        # still improving at its 5k-step budget; its ceiling gates the
+        # codec's achievable PSNR).  Optimizer state restarts fresh, so
+        # pair --resume with a reduced --lr for a warm continuation.
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            params = ckptr.restore(Path(args.resume).resolve(), params)
+        print(f"# resumed VQGAN params from {args.resume}",
+              file=sys.stderr, flush=True)
 
     tx = optax.adam(args.lr, b1=0.5, b2=0.9)
     opt_state = tx.init(params)
@@ -119,7 +129,7 @@ def run(args):
         ckpt_path = save_codec_params(Path(args.ckpt_out).resolve(), params)
         print(f"# checkpoint -> {ckpt_path}", file=sys.stderr, flush=True)
 
-    return {"metric": "r4_vqgan_pretrain", "params_M": round(n_params/1e6, 1),
+    return {"metric": "vqgan_pretrain", "params_M": round(n_params/1e6, 1),
             "steps": args.steps, "batch": args.batch, "lr": args.lr,
             "history": hist, "final_val_psnr": hist["val_psnr"][-1],
             "wall_s": round(time.time() - t0, 1), "ckpt": ckpt_path}
@@ -129,6 +139,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", type=str, default="PRETRAIN_VQGAN_r04.json")
     ap.add_argument("--ckpt_out", type=str, default=None)
+    ap.add_argument("--resume", type=str, default=None,
+                    help="checkpoint dir to continue from (params only)")
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=2e-4)

@@ -152,6 +152,11 @@ class DeviceCropPool:
         at = rng.choice(self.dev_pool.shape[0], size=n, replace=False)
         self.dev_pool = self._scatter(self.dev_pool, fresh, at)
 
+    def stop(self):
+        """No background thread to stop (PooledSampler API compat; the
+        round-4 run lost its finalization artifacts to this missing
+        method — AttributeError after the full training loop)."""
+
 
 def recon_grid(pairs, path, cols: int = 4):
     """[(gt, recon), ...] float[-1,1] -> one PNG grid (gt above recon)."""
@@ -191,6 +196,7 @@ def run(args):
     disc_start = feat_total + int(args.pix_epochs * args.steps_per_epoch
                                   * args.disc_at)
     codec_params = None
+    teacher_apply = None
     if args.vqgan_ckpt:
         # phase-A pretrained VQGAN (pretrain_vqgan_r4.py) grafted into a
         # fresh codec init — the reference's pretrained-taming-VQGAN role
@@ -206,6 +212,8 @@ def run(args):
         with ocp.StandardCheckpointer() as ckptr:
             vq = ckptr.restore(Path(args.vqgan_ckpt).resolve(), vq_template)
         codec_params["params"]["vqgan"] = vq["params"]
+        teacher_apply = jax.jit(
+            lambda x: VQGAN(spec.vqgan).apply(vq, x)[0])
         print(f"# grafted pretrained VQGAN from {args.vqgan_ckpt}",
               file=sys.stderr, flush=True)
     codec, state, (feat_step, pix_step, eval_step) = create_train_state(
@@ -231,9 +239,20 @@ def run(args):
     # link would cost more than the eval itself
     val_x_dev = jax.device_put(jnp.asarray(val_x))
     val_mix_dev = jax.device_put(jnp.asarray(val_mix))
+    # The training bar, stated up front (round-4 verdict, weak item 7):
+    # the codec decodes THROUGH the VQGAN decoder, so the pretrained
+    # teacher's own reconstruction PSNR on the SAME held-out set is the
+    # reachable ceiling.  Success = codec held-out PSNR within 1.5 dB of
+    # the teacher (absolute >= 25 dB is the stretch goal, meaningful only
+    # if the teacher itself clears ~26.5).
+    teacher_psnr = None
+    if teacher_apply is not None:
+        teacher_psnr = round(psnr(
+            np.asarray(teacher_apply(val_x_dev[:8])), val_x[:8]), 3)
     print(f"# {n_params/1e6:.0f}M params; corpus {len(train_imgs)} imgs, "
           f"{len(held)} held out; ladder {ladder[0]}..{ladder[-1]} "
-          f"({args.ladder_n}), band {band}", file=sys.stderr, flush=True)
+          f"({args.ladder_n}), band {band}; teacher heldout PSNR "
+          f"{teacher_psnr}", file=sys.stderr, flush=True)
 
     decode_fn = jax.jit(lambda p, x: codec.apply(
         p, x, need_full_decode=True)["x_hat"])
@@ -303,6 +322,10 @@ def run(args):
                         StageSpec(args.pix_epochs, mid, ladder,
                                   band[1], band[0])))
             trainer.strategy = strategy
+            # re-arm the below-band rate hinge at the calibrated floor
+            # (end_of_epoch armed it with the pre-calibration band)
+            trainer.state = trainer.state.replace(
+                rate_floor=jnp.asarray(band[0], jnp.float32))
             print(f"# auto band from entry bpp {b:.5f}: {band}",
                   file=sys.stderr, flush=True)
             stage, sspec = strategy.stage_at(epoch)
@@ -352,7 +375,7 @@ def run(args):
         if args.out:
             # truncation-proof: the trajectory so far is always on disk
             Path(str(args.out) + ".partial").write_text(json.dumps(
-                {"metric": "r4_midscale_train_partial", "band": list(band),
+                {"metric": "midscale_train_partial", "band": list(band),
                  "epochs_done": epoch + 1,
                  "val_bpp_trajectory": hist["val_bpp"],
                  "val_psnr_trajectory": hist["val_psnr"],
@@ -403,7 +426,7 @@ def run(args):
     pix_psnrs = [p for p, s in zip(hist["val_psnr"], hist["stage"])
                  if s == "pix"]
     summary = {
-        "metric": "r4_midscale_train",
+        "metric": "midscale_train",
         "spec": "small_spec", "params_M": round(n_params / 1e6, 1),
         "device": jax.devices()[0].device_kind,
         "batch": args.batch, "px": 256, "lr": args.lr,
@@ -428,6 +451,8 @@ def run(args):
         "band_hold_best_streak": best,
         "band_hold_end_streak": end_streak,
         "band_held_3plus": best >= 3,
+        "teacher_heldout_psnr": teacher_psnr,
+        "bar": {"teacher_relative_db": 1.5, "absolute_db": 25.0},
         "pix_psnr_start": pix_psnrs[0] if pix_psnrs else None,
         "pix_psnr_end": pix_psnrs[-1] if pix_psnrs else None,
         "pix_psnr_max": max(pix_psnrs) if pix_psnrs else None,

@@ -162,11 +162,19 @@ def main(argv=None):
         n_local = len(jax.devices())
         if n_local % args.pp:
             ap.error(f"{n_local} devices not divisible by pp={args.pp}")
-        n_cells = spec.titok.num_layers // cell_partition(
-            spec.titok.num_layers, spec.insert_pos_enc)
-        if n_cells % args.pp:
-            ap.error(f"trunk has {n_cells} pipeline cells; --pp must "
-                     f"divide it (got {args.pp})")
+        # both trunks must partition: YAML configs may set in_pos_dec
+        # differently from in_pos_enc (config.py), and a bad decoder
+        # partition would otherwise surface as an opaque shard_map
+        # failure inside the jitted step
+        n_cells = None
+        for side, ipos in (("encoder", spec.insert_pos_enc),
+                           ("decoder", spec.insert_pos_dec)):
+            n = spec.titok.num_layers // cell_partition(
+                spec.titok.num_layers, ipos)
+            if n % args.pp:
+                ap.error(f"{side} trunk has {n} pipeline cells; --pp must "
+                         f"divide it (got {args.pp})")
+            n_cells = n if side == "encoder" else n_cells
         data_ways = n_local // args.pp
         pp_mesh = make_mesh(shape=(data_ways, args.pp),
                             axis_names=("data", "pipe"))
@@ -185,7 +193,27 @@ def main(argv=None):
         frozen_dtype=None if (args.f32_frozen or not on_tpu) else jnp.bfloat16,
         lpips_lin=args.lpips_lin, lpips_vgg=args.lpips_vgg, pp=pp_cfg)
     if args.resume:
-        resumed = load_checkpoint(args.resume, state)
+        try:
+            resumed = load_checkpoint(args.resume, state)
+        except Exception:
+            # Layout-independent fallback: a bare codec-params checkpoint
+            # (e.g. the canonical `deploy_params` written at the end of
+            # every run, or a --pp run resuming a non-PP checkpoint and
+            # vice versa).  Params-only warm start — optimizer/schedule
+            # state restarts fresh.
+            from ..checkpoint import load_codec_params
+            from ..parallel import (codec_params_canonicalize,
+                                    codec_params_stack)
+            loaded = load_codec_params(args.resume, spec,
+                                       image_hw=(args.train_px,) * 2)
+            conv = (codec_params_stack if pp_cfg is not None
+                    else codec_params_canonicalize)
+            loaded = conv({"params": loaded["params"]}, spec)
+            grafted = jax.tree.map(lambda t, s: jnp.asarray(s, t.dtype),
+                                   state.params, loaded)
+            resumed = state.replace(params=grafted)
+            print(f"[train] params-only warm start from {args.resume} "
+                  "(optimizer state fresh)", file=sys.stderr)
         if args.reset_schedule:
             resumed = resumed.replace(
                 epoch_for_strategy=state.epoch_for_strategy,
@@ -301,6 +329,24 @@ def main(argv=None):
             if val_ds else iter(())
 
     trainer.fit(train_data, val_data if val_ds else None, epochs=args.epochs)
+    if world == 1:
+        # canonical deployment-params checkpoint: what evaluate/compress/
+        # serve load (load_codec_params).  Always in the NAMED
+        # transformer_{i} layout — a --pp run's stacked trunk_cells are an
+        # execution detail, not a wire format (round-4 advisor finding:
+        # PP-trained checkpoints were unloadable by the deploy CLIs).
+        from pathlib import Path
+
+        import numpy as np
+
+        from ..checkpoint import save_codec_params
+        deploy = {"params": jax.tree.map(
+            lambda x: np.asarray(x), trainer.state.params["params"])}
+        if pp_cfg is not None:
+            from ..parallel import codec_params_canonicalize
+            deploy = codec_params_canonicalize(deploy, spec)
+        dp = save_codec_params(Path(args.ckpt_dir) / "deploy_params", deploy)
+        print(f"[train] deployment params -> {dp}", file=sys.stderr)
     if writer is not None:
         writer.close()
     if world > 1:

@@ -163,6 +163,86 @@ def init_codec(spec: CodecSpec, rng, image_hw: Tuple[int, int] = None,
     return model, params
 
 
+class EncodeRouter:
+    """Link-adaptive encode-path policy: host packed-plane fetch + native
+    rANS vs on-device Pallas rANS (fetch only the ~8x-smaller finished
+    stream at the cost of the kernel's serial walk).
+
+    Pure host-side state machine, extracted from CodecRuntime so the
+    closed-loop behavior is unit-testable without a device.  Three design
+    rules, each bought by a measured round-4 failure
+    (BENCH_r04.json: 7/7 host picks while `fetch` ran 1158 ms/batch, ~3x
+    the router's prediction):
+
+    1. Route on the REALIZED host cost: ``host_spb`` is an EMA of
+       seconds-per-byte over actual packed-plane fetches — stalls, RTT
+       and serialization included — not a bandwidth estimate.
+    2. Asymmetric adaptation: a worse-than-EMA observation gets weight
+       0.7 (links degrade abruptly), a better one 0.3 (recovery is
+       handled by exploration, not optimism).
+    3. Minority-path exploration: the kernel-cost EMA updates only on
+       the device path and the link cost only on the host path, so a
+       one-sided router self-seals on stale priors.  Every
+       ``explore_every``-th decision takes the minority path to keep
+       both estimators live (and lets the policy flip back after a
+       transient, the round-4 advisor's latch-up finding).
+    """
+
+    def __init__(self, dev_chunk_s: float = 0.09, dev_shrink: float = 8.0,
+                 explore_every: int = 16):
+        self.host_spb: Optional[float] = None   # realized host s/byte EMA
+        self.link_bw: Optional[float] = None    # bytes/s EMA (observability)
+        self.dev_chunk_s = dev_chunk_s          # kernel s/chunk EMA
+        self.dev_shrink = dev_shrink            # packed/stream byte ratio EMA
+        self.explore_every = explore_every
+        self._n = 0                             # auto decisions taken
+        self.last_explored = False              # observability
+
+    def note_fetch(self, nbytes: int, secs: float) -> None:
+        """Feed a realized device->host fetch (large transfers only —
+        small ones measure RTT, not the transfer cost)."""
+        if nbytes < (1 << 18) or secs <= 0:
+            return
+        bw = nbytes / secs
+        self.link_bw = (bw if self.link_bw is None
+                        else 0.5 * self.link_bw + 0.5 * bw)
+        spb = secs / nbytes
+        if self.host_spb is None:
+            self.host_spb = spb
+        elif spb > self.host_spb:
+            self.host_spb = 0.3 * self.host_spb + 0.7 * spb
+        else:
+            self.host_spb = 0.7 * self.host_spb + 0.3 * spb
+
+    def note_device_encode(self, dev_s: float, stream_bytes: int,
+                           packed_bytes: int, n_chunks: int) -> None:
+        """Feed a realized device-path encode (kernel walk + stream fetch)."""
+        if self.host_spb is not None:
+            # peel the fetch share off the measurement -> kernel EMA
+            kern = max(dev_s - stream_bytes * self.host_spb, 1e-3)
+            self.dev_chunk_s = (0.5 * self.dev_chunk_s
+                                + 0.5 * kern / max(n_chunks, 1))
+        if packed_bytes and stream_bytes:
+            self.dev_shrink = (0.5 * self.dev_shrink
+                               + 0.5 * packed_bytes / stream_bytes)
+
+    def decide(self, packed_bytes: int, n_chunks: int) -> bool:
+        """True -> device path.  Call only for auto-routable batches."""
+        if self.host_spb is None:
+            self.last_explored = False
+            return False                 # first batch measures the link
+        t_host = packed_bytes * self.host_spb
+        t_dev = (n_chunks * self.dev_chunk_s
+                 + packed_bytes / self.dev_shrink * self.host_spb)
+        choice = t_dev < t_host
+        self._n += 1
+        self.last_explored = bool(
+            self.explore_every and self._n % self.explore_every == 0)
+        if self.last_explored:
+            choice = not choice
+        return choice
+
+
 class CodecRuntime:
     """Host driver for real-bitstream deployment paths.
 
@@ -267,43 +347,31 @@ class CodecRuntime:
         assert device_entropy in ("auto", "host", "device"), device_entropy
         self.device_entropy = device_entropy
 
-        # -- link-bandwidth-keyed encode policy (self-tuning) -------------
-        # Host-path encode fetches the packed int16 planes; device-path
-        # encode (Pallas rANS) fetches only the finished entropy words
-        # (~8x smaller) at the cost of the kernel's serial walk.  Which
-        # wins depends on the live host<->device bandwidth (round-3: a
-        # degraded 35 MB/s tunnel made `fetch` the top wall-clock stage),
-        # so the runtime measures it from its own large fetches and routes
-        # each batch by predicted time.  Priors from the r3 ablations:
-        # ~0.09 s kernel walk per coding chunk (RANS_ABLATION_r03b.json),
-        # 8x stream shrink (ops/rans_encode.py).
-        self._link_bw: Optional[float] = None      # bytes/s EMA
-        self._dev_enc_chunk_s: float = 0.09        # kernel s/chunk EMA
-        self._dev_shrink: float = 8.0
+        # -- link-adaptive encode policy (see EncodeRouter) ---------------
+        # Priors from the r3 ablations: ~0.09 s kernel walk per coding
+        # chunk (RANS_ABLATION_r03b.json), 8x stream shrink
+        # (ops/rans_encode.py).
+        self.router = EncodeRouter()
         self.encode_path_counts = {"device": 0, "host": 0}  # observability
 
+    @property
+    def _link_bw(self) -> Optional[float]:
+        """Measured link bandwidth (bytes/s EMA); bench observability."""
+        return self.router.link_bw
+
     def _note_fetch(self, nbytes: int, secs: float) -> None:
-        """Update the link-bandwidth estimate from a real device fetch
-        (large transfers only — small ones measure RTT, not bandwidth)."""
-        if nbytes < (1 << 18) or secs <= 0:
-            return
-        bw = nbytes / secs
-        self._link_bw = (bw if self._link_bw is None
-                         else 0.5 * self._link_bw + 0.5 * bw)
+        self.router.note_fetch(nbytes, secs)
 
     def _use_device_encode(self, packed_bytes: int, n_chunks: int) -> bool:
         """Route an encode batch: device rANS when the predicted kernel
-        walk beats the packed-plane fetch at the measured bandwidth."""
+        walk beats the packed-plane fetch at the realized host cost."""
         if self.device_entropy == "host" or self.mesh is not None:
             return False
         if self.device_entropy == "device":
             return True
-        if jax.default_backend() != "tpu" or self._link_bw is None:
-            return False                 # first batch measures the link
-        t_host = packed_bytes / self._link_bw
-        t_dev = (n_chunks * self._dev_enc_chunk_s
-                 + packed_bytes / self._dev_shrink / self._link_bw)
-        return t_dev < t_host
+        if jax.default_backend() != "tpu":
+            return False
+        return self.router.decide(packed_bytes, n_chunks)
 
     def _count_path(self, use_dev: bool) -> None:
         self.encode_path_counts["device" if use_dev else "host"] += 1
@@ -485,22 +553,18 @@ class CodecRuntime:
                     interpret=jax.default_backend() != "tpu")
             dev_s = time.perf_counter() - t0
             stream_bytes = sum(len(s) for s in h_streams)
-            if self._link_bw:
-                # peel the fetch share off the measurement -> kernel EMA
-                kern = max(dev_s - stream_bytes / self._link_bw, 1e-3)
-                self._dev_enc_chunk_s = (0.5 * self._dev_enc_chunk_s
-                                         + 0.5 * kern / max(n_chunks, 1))
-                if packed_bytes and stream_bytes:
-                    self._dev_shrink = (0.5 * self._dev_shrink
-                                        + 0.5 * packed_bytes / stream_bytes)
+            self.router.note_device_encode(dev_s, stream_bytes,
+                                           packed_bytes, n_chunks)
             with timed_stage(timer, "z_rans"):
                 z_np = jax.device_get(z_indices)
                 z_streams = [self._encode_z(
                     z_np[b * n_tiles:(b + 1) * n_tiles].reshape(-1))
                     for b in range(B)]
         else:
+            # z_indices / h are live from the routing dispatch above —
+            # re-invoking self._encode here would pay the full encoder
+            # forward twice on the default path (round-4 advisor finding)
             with timed_stage(timer, "encode_device"):
-                z_indices, h, _ = self._encode(self.params, x01)
                 chunk_plans = self.h_coder.compress_plan_chunks(h, q_idx=0)
 
             # the z fetch + z rANS ride a worker thread under the

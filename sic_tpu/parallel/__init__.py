@@ -25,10 +25,12 @@ from .mesh import (DEFAULT_TP_RULES, batch_sharding, fsdp_sharding,
                    image_sharding, make_mesh, pp_sharding, replicated,
                    shard_batch, shard_state, shard_state_fsdp, shard_state_pp,
                    shard_state_tp, tp_sharding)
-from .pipeline import (pipeline_vit_trunk, spmd_pipeline, stack_hybrid_cells,
+from .pipeline import (codec_params_canonicalize, codec_params_stack,
+                       pipeline_vit_trunk, spmd_pipeline, stack_hybrid_cells,
                        stack_trunk, unstack_hybrid_cells)
 
-__all__ = ["DEFAULT_TP_RULES", "batch_sharding", "fsdp_sharding",
+__all__ = ["DEFAULT_TP_RULES", "batch_sharding",
+           "codec_params_canonicalize", "codec_params_stack", "fsdp_sharding",
            "image_sharding", "make_mesh", "pipeline_vit_trunk", "pp_sharding",
            "replicated", "shard_batch", "shard_state", "shard_state_fsdp",
            "shard_state_pp", "shard_state_tp", "spmd_pipeline",

@@ -209,6 +209,52 @@ def unstack_hybrid_cells(tree, num_layers: int, insert_pos):
     return out
 
 
+def codec_params_canonicalize(params, spec):
+    """Full-codec param tree: stacked ``trunk_cells`` -> the canonical
+    named ``transformer_{i}`` layout (no-op when already canonical).
+
+    Checkpoint-layout independence: a ``--pp``-trained run must produce
+    checkpoints that ``evaluate``/``compress``/``serve`` (which build the
+    named layout) can load — the stacked layout is an execution detail of
+    the pipeline schedule, not a wire format.  ``params`` is the usual
+    ``{"params": {...}}`` codec tree; returns a converted copy."""
+    return _convert_codec_layout(params, spec, to_stacked=False)
+
+
+def codec_params_stack(params, spec):
+    """Inverse of :func:`codec_params_canonicalize`: named layout -> the
+    stacked ``trunk_cells`` layout consumed by ``Codec(..., pp=...)``
+    (no-op when already stacked).  Used to resume a canonical checkpoint
+    into a pipeline-parallel run."""
+    return _convert_codec_layout(params, spec, to_stacked=True)
+
+
+def _convert_codec_layout(params, spec, to_stacked: bool):
+    root = params.get("params", params)
+    hc = root.get("hybrid_codec")
+    if hc is None:
+        return params
+    L = spec.titok.num_layers
+    new_hc = dict(hc)
+    for side, ipos in (("encoder", spec.insert_pos_enc),
+                       ("decoder", spec.insert_pos_dec)):
+        sub = hc.get(side)
+        if sub is None:
+            continue
+        stacked_now = "trunk_cells" in sub
+        if to_stacked and not stacked_now:
+            new_hc[side] = stack_hybrid_cells(sub, L, ipos)
+        elif not to_stacked and stacked_now:
+            new_hc[side] = unstack_hybrid_cells(sub, L, ipos)
+    new_root = dict(root)
+    new_root["hybrid_codec"] = new_hc
+    if "params" in params:
+        out = dict(params)
+        out["params"] = new_root
+        return out
+    return new_root
+
+
 def pipeline_vit_trunk(params, num_heads: int, x, mesh: Mesh,
                        axis: str = "pipe",
                        batch_axis: Optional[str] = None,

@@ -154,6 +154,7 @@ class TrainState(flax.struct.PyTreeNode):
     epoch_for_strategy: jax.Array          # i32 scalar
     lmbda_idx: jax.Array                   # i32 scalar
     lmbda_list: jax.Array                  # f32 (n,)
+    rate_floor: jax.Array                  # f32 scalar; 0 disables
     rng: jax.Array
 
     def current_lmbda(self):

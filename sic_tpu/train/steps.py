@@ -28,6 +28,9 @@ class FeatLossCfg:
     mse_weight: float = 1.0
     ce_weight: float = 0.25
     vq_weight: float = 1.0
+    rate_push_w: float = 1.0
+    # weight of the below-band rate hinge ``relu(rate_floor - bpp_noise)``
+    # (see ImgLossCfg.rate_push_w for the mechanism note)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +54,16 @@ class ImgLossCfg:
     disc_loss: str = "hinge"
     perceptual: str = "lpips"
     align_weight: float = 0.0
+    rate_push_w: float = 1.0
+    # The lambda*bpp rate term only ever pushes rate DOWN; once every
+    # symbol's |y_res| < 0.5 and scales sit below force_zero_thres the
+    # hard-quant stream is empty and the controller's lambda has no lever
+    # to revive it (round-4 measured: val bpp pinned at 0.0 for 8 epochs
+    # under 16 consecutive correct lambda-down moves).  The hinge
+    # ``rate_push_w * relu(state.rate_floor - bpp_noise)`` adds an
+    # upward rate gradient exactly when the (always-differentiable)
+    # noise-proxy rate falls below the stage's band floor, making
+    # collapse non-absorbing by construction.  rate_floor == 0 disables.
     # ``align_weight > 0`` keeps the feat-stage teacher-alignment terms
     # (latent MSE + index CE against the frozen VQGAN teacher) in the pix
     # objective at this weight.  The reference's pix stage drops them
@@ -117,6 +130,10 @@ def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
                 teacher_idx, out["vq_loss"], out["bpp_loss"],
                 mse_weight=feat_cfg.mse_weight, ce_weight=feat_cfg.ce_weight,
                 vq_weight=feat_cfg.vq_weight, sq_weight=lmbda)
+            rate_push = feat_cfg.rate_push_w * jax.nn.relu(
+                state.rate_floor - out["bpp_loss"])
+            loss = loss + rate_push
+            logs["train/rate_push"] = rate_push
             logs["train/align_loss"] = loss
             logs["train/bpp"] = out["bpp_loss"]
             logs["train/bpp_hard_quant"] = out["bpp_hard_quant"]
@@ -177,6 +194,9 @@ def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
             loss = (nll + d_weight * disc_factor * g_loss
                     + img_cfg.codebook_weight * out["vq_loss"]
                     + lmbda * out["bpp_loss"])
+            rate_push = img_cfg.rate_push_w * jax.nn.relu(
+                state.rate_floor - out["bpp_loss"])
+            loss = loss + rate_push
             if img_cfg.align_weight > 0.0:
                 align, _ = feat_align_loss(
                     out["vqgan_latent"], out["logits"], teacher_latent,
@@ -190,6 +210,7 @@ def make_steps(codec: Codec, disc, lpips, feat_cfg: FeatLossCfg,
                 extra_logs = {}
             logs = {
                 **extra_logs,
+                "train/rate_push": rate_push,
                 "train/ae_loss": loss, "train/nll_loss": nll,
                 "train/rec_loss": rec, "train/p_loss": p,
                 "train/g_loss": g_loss, "train/d_weight": d_weight,

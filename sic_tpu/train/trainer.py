@@ -97,6 +97,7 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
         epoch_for_strategy=jnp.asarray(start, jnp.int32),
         lmbda_idx=jnp.asarray(stage0.init_lmbda_idx, jnp.int32),
         lmbda_list=jnp.asarray(stage0.lmbda_list, jnp.float32),
+        rate_floor=jnp.asarray(stage0.bpp_lower, jnp.float32),
         rng=r_state,
     )
     steps = make_steps(codec, disc, lpips, feat_cfg, img_cfg, ae_tx, disc_tx,
@@ -201,9 +202,14 @@ class Trainer:
                 save_checkpoint(self.ckpt_dir, self.state,
                                 name=f"{stage}_epo_for_strategy_{epoch}")
             # stage change resets the lambda schedule (reference: :571-575)
+            # and re-arms the rate floor at the new stage's band edge (the
+            # below-band hinge that makes rate collapse non-absorbing;
+            # round-4 failure: val bpp 0.042 -> 0.0 with 16 correct
+            # lambda-down moves and no recovery lever)
             self.state = self.state.replace(
                 lmbda_idx=jnp.asarray(next_spec.init_lmbda_idx, jnp.int32),
-                lmbda_list=jnp.asarray(next_spec.lmbda_list, jnp.float32))
+                lmbda_list=jnp.asarray(next_spec.lmbda_list, jnp.float32),
+                rate_floor=jnp.asarray(next_spec.bpp_lower, jnp.float32))
         self.state = self.state.replace(
             epoch_for_strategy=jnp.asarray(next_epoch, jnp.int32))
 

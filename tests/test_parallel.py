@@ -388,3 +388,28 @@ def test_pp_train_step_matches_sequential():
         denom = np.linalg.norm(a) + 1e-6
         rel = np.linalg.norm(a - b) / denom
         assert rel < 2e-2, ("/".join(k), rel)
+
+
+def test_codec_params_layout_roundtrip():
+    """Checkpoint-layout independence (round-4 advisor finding): the
+    full-codec converters take a canonical tree to the stacked trunk_cells
+    layout and back bit-exactly, and are no-ops when already in the target
+    layout — so --pp checkpoints and deploy CLIs interoperate."""
+    from sic_tpu.parallel import (codec_params_canonicalize,
+                                  codec_params_stack)
+    spec = _pp_spec()
+    p_named, p_stacked = _named_and_cells_params(spec)
+
+    stacked = codec_params_stack(p_named, spec)
+    assert "trunk_cells" in stacked["params"]["hybrid_codec"]["encoder"]
+    # already-stacked input passes through untouched
+    again = codec_params_stack(stacked, spec)
+    jax.tree.map(np.testing.assert_array_equal, again, stacked)
+    # matches the reference stacking used by the PP tests
+    jax.tree.map(np.testing.assert_array_equal, stacked, p_stacked)
+
+    back = codec_params_canonicalize(stacked, spec)
+    jax.tree.map(np.testing.assert_array_equal, back, p_named)
+    # canonical input passes through untouched
+    jax.tree.map(np.testing.assert_array_equal,
+                 codec_params_canonicalize(p_named, spec), p_named)

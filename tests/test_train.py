@@ -137,3 +137,94 @@ def test_remat_training_step():
     x = jax.random.uniform(jax.random.PRNGKey(8), (1, 256, 256, 3), minval=-1.0)
     state2, logs = feat_step(state, x)
     assert np.isfinite(logs["train/align_loss"])
+
+
+def test_rate_floor_pushes_rate_up(harness):
+    """The below-band rate hinge gives the trainer an UPWARD rate lever.
+
+    Round-4 failure mode: lambda*bpp only ever pushes rate down, and at
+    tiny scale Adam's loss-scale invariance means no lambda value can
+    push it back up (train_convergence.py calibration note) — collapse
+    is absorbing.  With ``state.rate_floor`` armed above the operating
+    rate, ``rate_push_w * relu(rate_floor - bpp_noise)`` must (a) report
+    a positive hinge, and (b) move training bpp UP over a few steps,
+    while the un-armed control keeps drifting down — the sign flip the
+    old loss could never produce."""
+    codec, state0, (feat_step, _, _) = harness
+    x = jax.random.uniform(jax.random.PRNGKey(21), (2, 256, 256, 3),
+                           minval=-1.0)
+
+    def run(floor, n=12):
+        st = state0.replace(rate_floor=jnp.asarray(floor, jnp.float32))
+        first = last = None
+        for _ in range(n):
+            st, logs = feat_step(st, x)
+            first = first if first is not None else float(logs["train/bpp"])
+            last = float(logs["train/bpp"])
+        return first, last, float(logs["train/rate_push"])
+
+    b0_f, b1_f, push = run(floor=2.0)      # far above the operating rate
+    b0_c, b1_c, push_c = run(floor=0.0)    # control: hinge disabled
+    assert push > 0.0
+    assert push_c == 0.0
+    # hinge arm gains rate; control arm loses it (both start identically)
+    assert b1_f > b0_f, (b0_f, b1_f)
+    assert b1_f > b1_c, (b1_f, b1_c)
+
+
+@pytest.mark.slow  # full-tier: drives a real collapse (~300 tiny-spec steps)
+def test_rate_collapse_recovers_under_floor(harness):
+    """Round-4 verdict item 2, end to end at tiny scale: drive the real
+    trainer into rate collapse (lambda=10 crushes hard-quant bpp below
+    1e-3 — the round-4 absorbing state), then show the below-band hinge
+    revives the stream while the no-floor control stays dead.  Measured
+    calibration: collapse by ~step 200-300, recovery to ~0.1 bpp within
+    25 floor-armed steps (DESIGN.md §13)."""
+    import sys as _sys
+    from pathlib import Path as _P
+    _sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "benchmarks"))
+    from train_convergence import FreshSampler
+
+    codec, state0, (feat_step, _, eval_step) = harness
+    sampler = FreshSampler(7, px=256)
+    val = jnp.asarray(sampler.batch(2))
+
+    # -- collapse under a crushing rate weight --------------------------
+    st = state0.replace(lmbda_list=jnp.asarray([10.0], jnp.float32),
+                        lmbda_idx=jnp.asarray(0, jnp.int32),
+                        rate_floor=jnp.asarray(0.0, jnp.float32))
+    hard = 1.0
+    for i in range(300):
+        st, _logs = feat_step(st, jnp.asarray(sampler.batch(2)))
+        if i % 25 == 24:
+            hard = float(eval_step(st, val)["val/bpp"])
+            if hard < 1e-3:
+                break
+    assert hard < 1e-3, f"collapse did not happen (hard bpp {hard})"
+    collapsed = st
+
+    # -- recovery: floor armed vs control -------------------------------
+    # Measured nuance (collapse prototype, 2026-08-20): at tiny scale the
+    # FEAT objective's alignment gradient alone also revives the stream
+    # once lambda releases — the round-4 absorbing state needed the pix
+    # objective (align_weight 0) plus a decoder adapted to the dead
+    # stream.  What the hinge buys, provably at this scale, is (a) a
+    # recovery lever that is objective-INDEPENDENT (it acts through the
+    # rate term itself, present in every stage) and (b) ~4x faster
+    # recovery: noise bpp 0.006 -> 0.105 in 25 floor-armed steps vs
+    # ~0.028 for the control at the same step count.
+    def recover(floor, n=25):
+        s = collapsed.replace(
+            rate_floor=jnp.asarray(floor, jnp.float32),
+            lmbda_list=jnp.asarray([1e-4], jnp.float32),
+            lmbda_idx=jnp.asarray(0, jnp.int32))
+        logs = None
+        for _ in range(n):
+            s, logs = feat_step(s, jnp.asarray(sampler.batch(2)))
+        return float(eval_step(s, val)["val/bpp"]), float(logs["train/bpp"])
+
+    hard_f, noise_f = recover(floor=0.03)
+    hard_c, noise_c = recover(floor=0.0)
+    assert noise_f >= 0.024, (hard_f, noise_f)      # back at/above the band
+    assert hard_f >= 0.01, (hard_f, noise_f)        # real stream revived
+    assert noise_f > 2.0 * noise_c, (noise_f, noise_c)  # hinge >> passive
