@@ -93,6 +93,7 @@ def run(args):
     print(f"# VQGAN {n_params/1e6:.1f}M params on "
           f"{jax.devices()[0].device_kind}", file=sys.stderr, flush=True)
     hist = {"step": [], "loss": [], "rec": [], "val_psnr": []}
+    best_psnr = -1.0
     t0 = time.time()
     from collections import deque
     pending = deque()   # BOUNDED FENCE WINDOW: an unfenced loop pins every
@@ -106,7 +107,7 @@ def run(args):
         pending.append(loss)
         if len(pending) > 3:
             l = float(pending.popleft())
-        if i and args.ckpt_out and i % 1000 == 0:
+        if i and args.ckpt_out and i % 1000 == 0 and not args.save_best:
             from sic_tpu.checkpoint import save_codec_params
             save_codec_params(Path(args.ckpt_out).resolve(), params)
         if i % args.eval_every == 0 or i == args.steps - 1:
@@ -121,17 +122,29 @@ def run(args):
             print(f"# step {i}: loss {l:.4f} rec {float(aux[0]):.4f} "
                   f"val_psnr {vp:.2f} ({time.time() - t0:.0f}s)",
                   file=sys.stderr, flush=True)
+            if args.save_best and args.ckpt_out and vp > best_psnr:
+                # keep the best-evaluated params, not the final-step
+                # lottery draw: val PSNR oscillates +-2.5 dB at these
+                # lrs, and the teacher's ceiling gates the whole codec
+                best_psnr = vp
+                from sic_tpu.checkpoint import save_codec_params
+                save_codec_params(Path(args.ckpt_out).resolve(), params)
     sampler.stop()
 
     ckpt_path = None
     if args.ckpt_out:
-        from sic_tpu.checkpoint import save_codec_params
-        ckpt_path = save_codec_params(Path(args.ckpt_out).resolve(), params)
+        ckpt_path = str(Path(args.ckpt_out).resolve())
+        if not args.save_best:   # best mode already saved its winner
+            from sic_tpu.checkpoint import save_codec_params
+            ckpt_path = save_codec_params(Path(args.ckpt_out).resolve(),
+                                          params)
         print(f"# checkpoint -> {ckpt_path}", file=sys.stderr, flush=True)
 
     return {"metric": "vqgan_pretrain", "params_M": round(n_params/1e6, 1),
             "steps": args.steps, "batch": args.batch, "lr": args.lr,
             "history": hist, "final_val_psnr": hist["val_psnr"][-1],
+            "best_val_psnr": round(max(hist["val_psnr"]), 3),
+            "saved": "best" if args.save_best else "final",
             "wall_s": round(time.time() - t0, 1), "ckpt": ckpt_path}
 
 
@@ -146,6 +159,9 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--pool", type=int, default=2048)
     ap.add_argument("--eval_every", type=int, default=250)
+    ap.add_argument("--save_best", action="store_true",
+                    help="checkpoint the best-val_psnr params instead of "
+                         "periodic/final saves")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     summary = run(args)

@@ -51,6 +51,11 @@ def create_train_state(spec: CodecSpec, strategy: TrainingStrategy,
     taming/modules/losses/lpips.py:11-123)."""
     from .state import cast_frozen_params
 
+    # validate config BEFORE any model init — a bad flag must fail in
+    # milliseconds, not after the full codec/LPIPS build
+    if img_cfg.perceptual not in ("lpips", "msssim", "none"):
+        raise ValueError(f"unknown perceptual mode: {img_cfg.perceptual!r}")
+
     r_codec, r_disc, r_lpips, r_state = jax.random.split(rng, 4)
     hw = image_hw or (spec.tile_px, spec.tile_px)
     codec = Codec(spec, dtype, pp)

@@ -151,10 +151,12 @@ def test_rate_floor_pushes_rate_up(harness):
     while the un-armed control keeps drifting down — the sign flip the
     old loss could never produce."""
     codec, state0, (feat_step, _, _) = harness
-    x = jax.random.uniform(jax.random.PRNGKey(21), (2, 256, 256, 3),
+    # batch 1 reuses the (1, 256, 256, 3) feat_step compile the module's
+    # other tests already paid for — a second batch shape would recompile
+    x = jax.random.uniform(jax.random.PRNGKey(21), (1, 256, 256, 3),
                            minval=-1.0)
 
-    def run(floor, n=12):
+    def run(floor, n=8):
         st = state0.replace(rate_floor=jnp.asarray(floor, jnp.float32))
         first = last = None
         for _ in range(n):
