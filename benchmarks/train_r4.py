@@ -186,10 +186,17 @@ def run(args):
     mid = args.ladder_init if args.ladder_init >= 0 else args.ladder_n // 2
     warm = (1e-3,) * 4
     band = tuple(args.band)
+    # The FEAT stage carries the band floor too: round-5 measured (phaseB
+    # first attempt) that at warm lambda the rate collapses DURING feat
+    # (val bpp 0.154 -> 0.0095 in 4 epochs) long before any band exists,
+    # so a long feat phase would hand the pix stage a dead stream and the
+    # auto-band would calibrate around zero.  The below-band hinge
+    # (TrainState.rate_floor) holds the feat-stage operating rate at the
+    # target floor so alignment learns under a LIVE stream.
     strategy = TrainingStrategy(
         learning_rate=args.lr, start_epoch=0,
         stages=(StageSpec(args.feat_epochs[0], 0, warm, 10.0, 0.0),
-                StageSpec(args.feat_epochs[1], 0, warm, 10.0, 0.0),
+                StageSpec(args.feat_epochs[1], 0, warm, 10.0, band[0]),
                 StageSpec(args.pix_epochs, mid, ladder, band[1], band[0])))
 
     feat_total = sum(args.feat_epochs) * args.steps_per_epoch
