@@ -175,7 +175,7 @@ def test_rate_floor_pushes_rate_up(harness):
 
 
 @pytest.mark.slow  # full-tier: drives a real collapse (~300 tiny-spec steps)
-def test_rate_collapse_recovers_under_floor(harness):
+def test_rate_collapse_recovers_under_floor():
     """Round-4 verdict item 2, end to end at tiny scale: drive the real
     trainer into rate collapse (lambda=10 crushes hard-quant bpp below
     1e-3 — the round-4 absorbing state), then show the below-band hinge
@@ -187,22 +187,32 @@ def test_rate_collapse_recovers_under_floor(harness):
     _sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "benchmarks"))
     from train_convergence import FreshSampler
 
-    codec, state0, (feat_step, _, eval_step) = harness
+    # self-contained state at lr 1e-3: collapse speed scales with the
+    # learning rate, and the shared harness's 1e-4 leaves the stream
+    # alive after 300 steps (measured 0.012 bpp) — the prototype numbers
+    # below are calibrated at 1e-3
+    strat = TrainingStrategy(
+        learning_rate=1e-3, start_epoch=0,
+        stages=(StageSpec(99, 0, (10.0,), 10.0, 0.0),
+                StageSpec(0, 0, (10.0,), 10.0, 0.0),
+                StageSpec(0, 0, (10.0,), 10.0, 0.0)))
+    codec, state0, (feat_step, _, eval_step) = create_train_state(
+        TINY, strat, jax.random.PRNGKey(0),
+        img_cfg=ImgLossCfg(disc_ndf=16, disc_num_layers=2,
+                           perceptual="msssim"))
     sampler = FreshSampler(7, px=256)
     val = jnp.asarray(sampler.batch(2))
 
     # -- collapse under a crushing rate weight --------------------------
-    st = state0.replace(lmbda_list=jnp.asarray([10.0], jnp.float32),
-                        lmbda_idx=jnp.asarray(0, jnp.int32),
-                        rate_floor=jnp.asarray(0.0, jnp.float32))
+    st = state0
     hard = 1.0
-    for i in range(300):
+    for i in range(400):
         st, _logs = feat_step(st, jnp.asarray(sampler.batch(2)))
         if i % 25 == 24:
             hard = float(eval_step(st, val)["val/bpp"])
-            if hard < 1e-3:
+            if hard < 5e-4:
                 break
-    assert hard < 1e-3, f"collapse did not happen (hard bpp {hard})"
+    assert hard < 5e-4, f"collapse did not happen (hard bpp {hard})"
     collapsed = st
 
     # -- recovery: floor armed vs control -------------------------------
