@@ -39,18 +39,28 @@ def test_lambda_controller_steps_correctly(summary):
     assert summary["controller_correct"], summary["controller_moves"]
 
 
-def test_val_bpp_enters_band(summary):
-    # trajectory starts above the calibrated band and passes into it
-    # during a band-enforced epoch (it cannot HOLD the band at tiny
-    # scale — see the calibration note in train_convergence.run)
+def test_val_bpp_enters_band_and_holds(summary):
+    # trajectory starts above the calibrated band, passes into it during
+    # a band-enforced epoch, and HOLDS: with the below-band rate hinge
+    # (TrainState.rate_floor, round 5) the old tiny-scale monotone decay
+    # through the band is gone — measured trajectory 0.129 -> 0.083 ->
+    # 0.058 -> 0.041 -> 0.038 -> 0.024 (>= 3-epoch hold, ends in-band)
     assert summary["val_bpp_trajectory"][0] > summary["band"][1], summary
     assert summary["band_entered"], summary
+    lo, hi = summary["band"]
+    enforced = summary["val_bpp_trajectory"][1:]   # epochs past feat_wo_bpp
+    streak = best = 0
+    for b in enforced:
+        streak = streak + 1 if lo <= b <= hi else 0
+        best = max(best, streak)
+    assert best >= 3, (best, enforced)
+    assert summary["final_bpp_in_band"], summary
 
 
-def test_pix_stage_psnr_does_not_degrade(summary):
-    # at this step count we require improvement-or-hold; the committed
-    # TRAIN artifact demonstrates the longer run's strict improvement
-    assert summary["pix_psnr_end"] >= summary["pix_psnr_start"] - 0.1, summary
+def test_pix_stage_psnr_improves(summary):
+    # strict improvement (round-4 verdict item 6: the old
+    # improvement-or-hold bound passed a regressing trainer)
+    assert summary["pix_psnr_end"] > summary["pix_psnr_start"], summary
 
 
 def _simulate_hold(lmbda_list, gamma=0.5, drift=0.97, epochs=40,
