@@ -56,18 +56,19 @@ def main():
         u8 = np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
         Image.fromarray(u8).save(out / "heldout" / f"val{i}.png")
 
-    # 2. sic-evaluate over the held-out set (real bitstreams per image)
-    from sic_tpu.cli import evaluate as eval_cli
+    # 2. sic-evaluate over the held-out set (real bitstreams per image).
+    # Subprocess with stdout piped to the file: in-process
+    # redirect_stdout failed to capture the CLI's JSON lines (measured
+    # round 5 — the CLI resolves its output stream before the redirect),
+    # and an fd-level pipe captures regardless.
+    import subprocess
     ev_path = out / f"EVAL_{args.tag}.json"
     with open(ev_path, "w") as f:
-        import contextlib
-        import io as _io
-        buf = _io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            eval_cli.main(["--base_config", args.config,
-                           "--ckpt_path", args.ckpt,
-                           "--dataset_dir", str(out / "heldout")])
-        f.write(buf.getvalue())
+        subprocess.run(
+            [sys.executable, "-m", "sic_tpu.cli.evaluate",
+             "--base_config", args.config, "--ckpt_path", args.ckpt,
+             "--dataset_dir", str(out / "heldout")],
+            stdout=f, check=True, cwd=Path(__file__).resolve().parents[1])
     lines = [json.loads(ln) for ln in ev_path.read_text().splitlines() if ln]
     summary = [ln for ln in lines if ln.get("type") == "summary"][0]
     print("# evaluate summary:", json.dumps(summary), file=sys.stderr)
